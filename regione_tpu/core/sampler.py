@@ -1,0 +1,238 @@
+"""The RegionE denoise driver: STS -> (RAGS <-> refresh)* -> SMS, compiled.
+
+Where the reference interleaves Python control flow, mutable singletons and
+device work every step (SURVEY.md §3.2: scalar `t.item()`, `.pop()`
+bookkeeping, AVD arithmetic on the host each of 28 iterations), this driver
+compiles the whole loop into exactly TWO jitted calls per image:
+
+  1. `_sts`:  dense stabilization steps + the partition split-step.  Ends at
+     the single unavoidable host sync: the edited-token count is data-
+     dependent, so the host reads the mask once and picks a static capacity
+     bucket (multiples of `capacity_granularity`, MXU-aligned).
+  2. `_rest`: everything from the first RAGS step to the end — RAGS scans,
+     dense refresh split-steps, merge/shrink layout transitions, and the SMS
+     steps — traced against the host-precomputed static stage plan
+     (regione_tpu.core.schedule).  Uniform step runs use `lax.scan`; the
+     adaptive-velocity-decay reuse decision is a `lax.cond` whose predicate
+     comes from the static plan, so reuse steps skip the transformer
+     entirely at runtime.
+
+Shape policy: latents stay full-length [B, S_noise, C] in fp32 (the
+reference also upcasts in the scheduler, inplace.py:615); the RAGS phase
+gathers to a fixed capacity K_cap with sentinel-padded ids (core.masking) —
+padded rows are re-zeroed every step so garbage can never compound.
+
+Backends plug in via two hooks (closing over their params/text embeds/rope):
+
+  dense_forward(lat [B,S,C] f32, sigma, cache, ctx, write: bool)
+      -> (v [B,S,C], cache)     # model over [noise ‖ condition], CFG done
+  rags_forward(lat_act [B,K,C] f32, sigma, cache, edited_ids [K], ctx)
+      -> (v_act [B,K,C], cache)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regione_tpu.core import masking
+from regione_tpu.core.config import RegionEParams, pick_capacity
+from regione_tpu.core.partition import select_edited_mask
+from regione_tpu.core.schedule import (
+    SCHED_PARTITION,
+    SCHED_REFRESH,
+    StepPlan,
+    plan_segments,
+)
+
+
+@dataclasses.dataclass
+class SampleStats:
+    """Per-image observability (reference has none; SURVEY.md §5)."""
+    edited_tokens: int
+    capacity: int
+    seq_len: int
+    reuse_steps: int
+    dense_steps: int
+    rags_steps: int
+
+
+class RegionESampler:
+    """Generic RegionE loop driver, parameterized by backend hooks."""
+
+    def __init__(
+        self,
+        plan: list[StepPlan],
+        params_re: RegionEParams,
+        *,
+        grid_h: int,
+        grid_w: int,
+        dense_forward: Callable,
+        rags_forward: Callable,
+        init_cache: Callable[[], Any],
+    ):
+        self.plan = plan
+        self.re = params_re
+        self.grid_h = grid_h
+        self.grid_w = grid_w
+        self.dense_forward = dense_forward
+        self.rags_forward = rags_forward
+        self.init_cache = init_cache
+        self._sts_jit = jax.jit(self._sts)
+        # one jit; retraces automatically per capacity (ids shape)
+        self._rest_jit = jax.jit(self._rest)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def sample(self, latents0: jnp.ndarray, cond_latent: jnp.ndarray, ctx
+               ) -> tuple[jnp.ndarray, SampleStats]:
+        """Run the full accelerated denoise.  latents0/cond_latent:
+        [B, S_noise, C].  Returns (final latents f32, stats)."""
+        s_noise = latents0.shape[1]
+        lat, mask, cache = self._sts_jit(latents0, cond_latent, ctx)
+        n_edit = int(jax.device_get(jnp.sum(mask)))
+        cap = self.re.rags_capacity or pick_capacity(
+            n_edit, s_noise, self.re.capacity_granularity)
+        ids = jnp.asarray(
+            masking.mask_to_padded_ids(np.asarray(jax.device_get(mask)), cap))
+        lat = self._rest_jit(lat, ids, mask, cache, ctx)
+        stats = SampleStats(
+            edited_tokens=n_edit,
+            capacity=cap,
+            seq_len=s_noise,
+            reuse_steps=sum(sp.reuse for sp in self.plan),
+            dense_steps=sum(sp.dense for sp in self.plan),
+            rags_steps=sum(not sp.dense for sp in self.plan),
+        )
+        return lat, stats
+
+    def sample_dense(self, latents0: jnp.ndarray, ctx) -> jnp.ndarray:
+        """Vanilla 28-step dense Euler baseline through the same model hook
+        (the reference's pinned-resolution `pipeline_call` baseline,
+        src/Step1X-Edit/utils.py:106)."""
+        return self._dense_jit(latents0, ctx)
+
+    @functools.cached_property
+    def _dense_jit(self):
+        sigmas = np.array([sp.sigma for sp in self.plan], np.float32)
+        dts = np.array([sp.dt for sp in self.plan], np.float32)
+
+        def run(lat, ctx):
+            lat = lat.astype(jnp.float32)
+
+            def body(l, xs):
+                sig, dt = xs
+                v, _ = self.dense_forward(l, sig, None, ctx, False)
+                return l + dt * v.astype(jnp.float32), None
+
+            lat, _ = jax.lax.scan(body, lat, (jnp.asarray(sigmas), jnp.asarray(dts)))
+            return lat
+
+        return jax.jit(run)
+
+    # ------------------------------------------------------------------
+    # segment 1: STS + partition
+    # ------------------------------------------------------------------
+
+    def _sts(self, latents, cond_latent, ctx):
+        warm = self.plan[: self.re.warmup_step - 1]
+        part = self.plan[self.re.warmup_step - 1]
+        assert part.sched_role == SCHED_PARTITION
+        lat = latents.astype(jnp.float32)
+
+        if warm:
+            sig = jnp.array([sp.sigma for sp in warm], jnp.float32)
+            dts = jnp.array([sp.dt for sp in warm], jnp.float32)
+
+            def body(l, xs):
+                s, dt = xs
+                v, _ = self.dense_forward(l, s, None, ctx, False)
+                return l + dt * v.astype(jnp.float32), None
+
+            lat, _ = jax.lax.scan(body, lat, (sig, dts))
+
+        cache = self.init_cache()
+        v, cache = self.dense_forward(lat, jnp.float32(part.sigma), cache, ctx, True)
+        v = v.astype(jnp.float32)
+        # one-step x0 estimate vs reference latent -> edited mask
+        # (reference inplace.py:653-656)
+        x0 = lat + part.dt_final * v
+        mask = select_edited_mask(
+            x0, cond_latent.astype(jnp.float32), self.re.threshold,
+            grid_h=self.grid_h, grid_w=self.grid_w,
+            erosion_dilation=self.re.erosion_dilation,
+            similarity_type=self.re.similarity_type,
+        )
+        # split step: edited rows take the normal Euler step, unedited rows
+        # long-jump to the refresh sigma (reference inplace.py:653-668)
+        lat = masking.where_rows(mask, lat + part.dt * v, lat + part.dt_jump * v)
+        return lat, mask, cache
+
+    # ------------------------------------------------------------------
+    # segment 2: RAGS / refresh / SMS
+    # ------------------------------------------------------------------
+
+    def _rest(self, lat, ids, mask, cache, ctx):
+        s_noise = lat.shape[1]
+        valid = (ids < s_noise)[None, :, None].astype(jnp.float32)
+        segs = plan_segments(self.plan[self.re.warmup_step:])
+        avd_full = jnp.zeros_like(lat)
+
+        for kind, steps in segs:
+            if kind == "rags":
+                lat_act = masking.gather_rows(lat, ids)
+                avd_act = masking.gather_rows(avd_full, ids)
+                cache, lat_act = self._rags_scan(lat_act, avd_act, cache, ids,
+                                                 valid, steps, ctx)
+                lat = masking.scatter_rows(lat, ids, lat_act)
+            else:
+                for sp in steps:
+                    if sp.sched_role == SCHED_REFRESH:
+                        v, cache = self.dense_forward(
+                            lat, jnp.float32(sp.sigma), cache, ctx, True)
+                        v = v.astype(jnp.float32)
+                        lat = masking.where_rows(
+                            mask, lat + sp.dt * v, lat + sp.dt_jump * v)
+                        avd_full = v
+                    else:
+                        v, _ = self.dense_forward(
+                            lat, jnp.float32(sp.sigma), None, ctx, False)
+                        lat = lat + sp.dt * v.astype(jnp.float32)
+        return lat
+
+    def _rags_scan(self, lat_act, avd_act, cache, ids, valid, steps, ctx):
+        sig = jnp.array([sp.sigma for sp in steps], jnp.float32)
+        dts = jnp.array([sp.dt for sp in steps], jnp.float32)
+        reuse = jnp.array([sp.reuse for sp in steps], bool)
+        ratio = jnp.array([sp.ratio for sp in steps], jnp.float32)
+
+        def body(carry, xs):
+            la, cache, avd = carry
+            s, dt, ru, rt = xs
+
+            def compute(ops):
+                la_, cache_, avd_ = ops
+                v, c2 = self.rags_forward(la_, s, cache_, ids, ctx)
+                v = v.astype(jnp.float32)
+                return v, c2, v  # AVD cache <- fresh velocity
+
+            def reuse_fn(ops):
+                la_, cache_, avd_ = ops
+                # noise_pred = cache * ratio; cache itself NOT decayed
+                # (reference inplace.py:362-366)
+                return avd_ * rt, cache_, avd_
+
+            v, cache, avd = jax.lax.cond(ru, reuse_fn, compute, (la, cache, avd))
+            la = (la + dt * v) * valid  # re-zero padded capacity slots
+            return (la, cache, avd), None
+
+        (lat_act, cache, _), _ = jax.lax.scan(
+            body, (lat_act, cache, avd_act), (sig, dts, reuse, ratio))
+        return cache, lat_act

@@ -1,0 +1,174 @@
+"""Functional building blocks for flow-matching DiT backbones.
+
+Plain-pytree functional style (params are nested dicts of jnp arrays): easy
+to shard with jax.sharding, easy to convert from HF torch checkpoints, and
+scan-friendly (block params are stacked along a leading layer axis so the
+whole depth compiles as one `lax.scan` body — a single trace instead of 19+38
+unrolled blocks).
+
+Conventions:
+  linear params  : {"w": [in, out], "b": [out]}  (note: transposed vs torch)
+  rmsnorm params : {"scale": [dim]}
+  layernorm      : {"scale": [dim], "bias": [dim]} (elementwise-affine only
+                   where the architecture has it; AdaLN norms have none)
+
+RoPE follows the diffusers Flux convention (consecutive-pair rotation with
+cos/sin interleave-repeated to head_dim) so converted weights reproduce the
+reference numerics (reference applies diffusers' apply_rotary_emb at
+RegionE/Step1XEdit/inplace.py:784-786).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def linear(p, x):
+    return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+
+
+def rmsnorm(x, scale, eps: float = 1e-6):
+    """RMS norm over the last dim in fp32, cast back (qk-norm style)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def layernorm(x, eps: float = 1e-6, scale=None, bias=None):
+    """LayerNorm; AdaLN uses the affine-free form."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        out = out * scale.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0,
+                       time_factor: float = 1000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (Flux convention: t in [0,1] scaled by
+    1000 before embedding; fp32)."""
+    t = t.astype(jnp.float32) * time_factor
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[..., None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def mlp_embed(p, x):
+    """Two-layer SiLU MLP used for time/vector/guidance embeds."""
+    return linear(p["out"], jax.nn.silu(linear(p["in"], x)))
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+def rope_table(ids: jnp.ndarray, axes_dims: Sequence[int], theta: float = 10000.0):
+    """Multi-axis rotary table.
+
+    Args:
+      ids: [S, A] integer/float positions per rotary axis.
+      axes_dims: per-axis rotary sub-dimension; sum == head_dim.
+
+    Returns:
+      (cos, sin): each [S, head_dim], frequencies interleave-repeated x2 so
+      that application is `x * cos + rotate_pairs(x) * sin` (diffusers Flux
+      `use_real=True` convention).
+    """
+    cos_parts, sin_parts = [], []
+    for a, d in enumerate(axes_dims):
+        half = d // 2
+        freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) * 2.0 / d))
+        angles = ids[:, a].astype(jnp.float32)[:, None] * freqs[None]  # [S, half]
+        angles = jnp.repeat(angles, 2, axis=-1)  # interleave-repeat to d
+        cos_parts.append(jnp.cos(angles))
+        sin_parts.append(jnp.sin(angles))
+    return jnp.concatenate(cos_parts, -1), jnp.concatenate(sin_parts, -1)
+
+
+def _rotate_pairs(x):
+    x2 = x.reshape(*x.shape[:-1], -1, 2)
+    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1)
+    return rot.reshape(x.shape)
+
+
+def apply_rope(x: jnp.ndarray, rope) -> jnp.ndarray:
+    """x: [..., S, D]; rope: (cos, sin) each [S, D]. fp32 rotation."""
+    cos, sin = rope
+    xf = x.astype(jnp.float32)
+    out = xf * cos + _rotate_pairs(xf) * sin
+    return out.astype(x.dtype)
+
+
+def concat_rope(a, b):
+    return (jnp.concatenate([a[0], b[0]], 0), jnp.concatenate([a[1], b[1]], 0))
+
+
+def gather_rope(rope, ids):
+    """Gather rope rows by padded ids (fill 0 => cos=0/sin=0 for pad rows;
+    pad rows are garbage-by-design and dropped downstream)."""
+    cos, sin = rope
+    return (
+        jnp.take(cos, ids, axis=0, mode="fill", fill_value=0),
+        jnp.take(sin, ids, axis=0, mode="fill", fill_value=0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# attention (XLA path; Pallas flash kernel lives in regione_tpu.ops)
+# ---------------------------------------------------------------------------
+
+def sdpa(q, k, v, bias=None):
+    """Scaled dot-product attention.
+
+    q: [B, H, T, d], k/v: [B, H, S, d] -> [B, T, H*d].
+    fp32 softmax for stability; inputs may be bf16.
+    """
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+    b, h, t, _ = out.shape
+    return out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+def split_heads(x, heads):
+    b, s, hd = x.shape
+    return x.reshape(b, s, heads, hd // heads).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def init_linear(key, d_in, d_out, dtype=jnp.float32):
+    kw, _ = jax.random.split(key)
+    lim = 1.0 / math.sqrt(d_in)
+    return {
+        "w": jax.random.uniform(kw, (d_in, d_out), dtype, -lim, lim),
+        "b": jnp.zeros((d_out,), dtype),
+    }
+
+
+def init_mlp_embed(key, d_in, d_hidden, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {"in": init_linear(k1, d_in, d_hidden, dtype),
+            "out": init_linear(k2, d_hidden, d_hidden, dtype)}

@@ -1,0 +1,406 @@
+"""Generic multi-modal DiT (MMDiT) backbone with Region-Instruction KV cache.
+
+One implementation covers the transformer structure of all five reference
+backends (the reference instead duplicates ~800 lines x10 files; SURVEY.md §1):
+
+  * Step1X-Edit / FLUX.1 Kontext : double-stream blocks + single-stream
+    (txt-concat) blocks, AdaLN-zero modulation, qk-RMSNorm, 3-axis RoPE.
+  * Qwen-Image-Edit (+Plus)      : joint double-stream blocks only
+    (depth_single = 0).
+
+Three statically-selected cache modes mirror the reference attention
+processor's phase switch (RegionE/Step1XEdit/inplace.py:723-757):
+
+  mode="dense" : plain attention, no cache traffic (STS / SMS steps).
+  mode="write" : dense attention AND store the image-stream K/V
+                 (partition / refresh steps).
+  mode="rags"  : the hidden stream holds only the gathered edited tokens;
+                 their K/V rows are recomputed and scattered into the cache
+                 (the TPU-native equivalent of the reference's in-place
+                 Triton indexed matmul, fused_kernels.py:9-101), then the
+                 gathered queries attend over the FULL cached K/V.
+
+TPU-native design choices (vs. the reference):
+  * Block parameters are stacked on a leading layer axis and the depth runs
+    under `lax.scan` — one trace for 19 (or 60) blocks.
+  * The cache stores *attention-ready* K (qk-norm + RoPE already applied)
+    and raw V. Unedited rows' norm/RoPE results never change between
+    refreshes, so re-applying them every step (as the reference does,
+    inplace.py:784-786) is wasted bandwidth; we pay norm+RoPE only for the
+    recomputed rows.
+  * Padded (out-of-capacity) edited slots carry garbage by design: their
+    cache writes are dropped (`mode='drop'` scatter) and their outputs are
+    dropped at the sampler's final scatter. They never contaminate real rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from regione_tpu.models.layers import (
+    apply_rope,
+    concat_rope,
+    init_linear,
+    init_mlp_embed,
+    layernorm,
+    linear,
+    mlp_embed,
+    rmsnorm,
+    sdpa,
+    split_heads,
+    timestep_embedding,
+)
+
+MODE_DENSE = "dense"
+MODE_WRITE = "write"
+MODE_RAGS = "rags"
+
+
+@dataclasses.dataclass(frozen=True)
+class MMDiTConfig:
+    in_channels: int = 64
+    out_channels: int = 64
+    hidden: int = 3072
+    heads: int = 24
+    head_dim: int = 128
+    mlp_ratio: float = 4.0
+    depth_double: int = 19
+    depth_single: int = 38
+    txt_in_dim: int = 4096
+    pooled_dim: int = 768          # 0 -> no pooled-vector embed (Qwen)
+    guidance_embed: bool = False   # True for FLUX.1 (distilled guidance)
+    axes_dims: tuple = (16, 56, 56)
+    rope_theta: float = 10000.0
+    time_embed_dim: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def inner(self) -> int:
+        return self.heads * self.head_dim
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.hidden * self.mlp_ratio)
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+def _attn_qkv(p, x, rope, heads):
+    """Project one stream to q,k,v heads with qk-RMSNorm and RoPE applied."""
+    q = split_heads(linear(p["q"], x), heads)
+    k = split_heads(linear(p["k"], x), heads)
+    v = split_heads(linear(p["v"], x), heads)
+    q = rmsnorm(q, p["norm_q"]["scale"])
+    k = rmsnorm(k, p["norm_k"]["scale"])
+    q = apply_rope(q, rope)
+    k = apply_rope(k, rope)
+    return q, k, v
+
+
+def _merge_flat(x):
+    """[B, H, S, d] -> [B, S, H*d] for cache storage."""
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _unmerge(x, heads):
+    return split_heads(x, heads)
+
+
+def _modulation(p, temb_act, n):
+    mods = linear(p, temb_act)
+    return jnp.split(mods[:, None, :], n, axis=-1)
+
+
+def double_block(p, cfg: MMDiTConfig, img, txt, temb_act, rope_img, rope_txt,
+                 mode, cache_k, cache_v, sel_ids, txt_bias=None):
+    """MMDiT double-stream block (separate img/txt projections, joint
+    attention with txt rows first — reference inplace.py:780-782).
+
+    img: [B, T_img, H]  (T_img = full S_kv in dense/write; K_cap in rags)
+    cache_k/v: [B, S_kv, H*dh] attention-ready K / raw V, or None.
+    sel_ids: [K_cap] padded row ids into S_kv (rags mode only).
+    """
+    heads = cfg.heads
+    i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2 = _modulation(
+        p["img_mod"], temb_act, 6)
+    t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2 = _modulation(
+        p["txt_mod"], temb_act, 6)
+
+    img_n = layernorm(img) * (1 + i_scale1) + i_shift1
+    txt_n = layernorm(txt) * (1 + t_scale1) + t_shift1
+
+    q_i, k_i, v_i = _attn_qkv(p["img_attn"], img_n, rope_img, heads)
+    q_t, k_t, v_t = _attn_qkv(p["txt_attn"], txt_n, rope_txt, heads)
+
+    new_cache = (cache_k, cache_v)
+    if mode == MODE_DENSE:
+        k_img_full, v_img_full = k_i, v_i
+    elif mode == MODE_WRITE:
+        new_cache = (_merge_flat(k_i), _merge_flat(v_i))
+        k_img_full, v_img_full = k_i, v_i
+    elif mode == MODE_RAGS:
+        ck = cache_k.at[:, sel_ids, :].set(_merge_flat(k_i), mode="drop",
+                                           unique_indices=True)
+        cv = cache_v.at[:, sel_ids, :].set(_merge_flat(v_i), mode="drop",
+                                           unique_indices=True)
+        new_cache = (ck, cv)
+        k_img_full, v_img_full = _unmerge(ck, heads), _unmerge(cv, heads)
+    else:
+        raise ValueError(mode)
+
+    q = jnp.concatenate([q_t, q_i], axis=2)
+    k = jnp.concatenate([k_t, k_img_full], axis=2)
+    v = jnp.concatenate([v_t, v_img_full], axis=2)
+    attn = sdpa(q, k, v, bias=txt_bias)
+
+    t_len = txt.shape[1]
+    attn_txt, attn_img = attn[:, :t_len], attn[:, t_len:]
+
+    img = img + i_gate1 * linear(p["img_attn"]["out"], attn_img)
+    txt = txt + t_gate1 * linear(p["txt_attn"]["out"], attn_txt)
+
+    img_n2 = layernorm(img) * (1 + i_scale2) + i_shift2
+    img = img + i_gate2 * linear(
+        p["img_mlp"]["out"], jax.nn.gelu(linear(p["img_mlp"]["in"], img_n2),
+                                         approximate=True))
+    txt_n2 = layernorm(txt) * (1 + t_scale2) + t_shift2
+    txt = txt + t_gate2 * linear(
+        p["txt_mlp"]["out"], jax.nn.gelu(linear(p["txt_mlp"]["in"], txt_n2),
+                                         approximate=True))
+    return img, txt, new_cache
+
+
+def single_block(p, cfg: MMDiTConfig, x, temb_act, rope, mode,
+                 cache_k, cache_v, sel_ids, txt_bias=None):
+    """Flux-style single-stream block: fused qkv+mlp projection, parallel
+    attention and MLP, one output projection.  The stream is [txt ‖ img]
+    (txt rows re-embed each step, so in rags mode ALL active rows — txt and
+    edited — write their K/V rows into the cache; reference inplace.py:736).
+
+    x: [B, T_act, H]; cache over [B, S_stream, H*dh].
+    """
+    heads = cfg.heads
+    shift, scale, gate = _modulation(p["mod"], temb_act, 3)
+    x_n = layernorm(x) * (1 + scale) + shift
+
+    fused = linear(p["linear1"], x_n)
+    qkv, mlp_h = jnp.split(fused, [3 * cfg.inner], axis=-1)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = rmsnorm(split_heads(q, heads), p["norm_q"]["scale"])
+    k = rmsnorm(split_heads(k, heads), p["norm_k"]["scale"])
+    v = split_heads(v, heads)
+    q = apply_rope(q, rope)
+    k = apply_rope(k, rope)
+
+    new_cache = (cache_k, cache_v)
+    if mode == MODE_DENSE:
+        k_full, v_full = k, v
+    elif mode == MODE_WRITE:
+        new_cache = (_merge_flat(k), _merge_flat(v))
+        k_full, v_full = k, v
+    elif mode == MODE_RAGS:
+        ck = cache_k.at[:, sel_ids, :].set(_merge_flat(k), mode="drop",
+                                           unique_indices=True)
+        cv = cache_v.at[:, sel_ids, :].set(_merge_flat(v), mode="drop",
+                                           unique_indices=True)
+        new_cache = (ck, cv)
+        k_full, v_full = _unmerge(ck, heads), _unmerge(cv, heads)
+    else:
+        raise ValueError(mode)
+
+    attn = sdpa(q, k_full, v_full, bias=txt_bias)
+    out = linear(p["linear2"],
+                 jnp.concatenate([attn, jax.nn.gelu(mlp_h, approximate=True)], -1))
+    return x + gate * out, new_cache
+
+
+# ---------------------------------------------------------------------------
+# full model
+# ---------------------------------------------------------------------------
+
+def init_cache(cfg: MMDiTConfig, batch: int, s_kv_img: int, t_txt: int,
+               dtype=None):
+    """Zero-initialized Region-Instruction KV cache pytree.
+
+    double blocks cache the image stream ([noise ‖ condition] rows at cache
+    time); single blocks cache the full [txt ‖ image] stream."""
+    dtype = dtype or cfg.dtype
+    p = cfg.inner
+    cache = {
+        "dk": jnp.zeros((cfg.depth_double, batch, s_kv_img, p), dtype),
+        "dv": jnp.zeros((cfg.depth_double, batch, s_kv_img, p), dtype),
+    }
+    if cfg.depth_single:
+        cache["sk"] = jnp.zeros((cfg.depth_single, batch, t_txt + s_kv_img, p), dtype)
+        cache["sv"] = jnp.zeros((cfg.depth_single, batch, t_txt + s_kv_img, p), dtype)
+    return cache
+
+
+def mmdit_forward(
+    params,
+    cfg: MMDiTConfig,
+    img: jnp.ndarray,            # [B, T_img, in_channels]
+    txt: jnp.ndarray,            # [B, T_txt, txt_in_dim]
+    t: jnp.ndarray,              # [B] in [0, 1] (sigma)
+    rope_img,                    # (cos, sin) over the T_img rows' positions
+    rope_txt,                    # (cos, sin) over txt rows
+    pooled: jnp.ndarray | None = None,   # [B, pooled_dim]
+    guidance: jnp.ndarray | None = None,  # [B]
+    *,
+    mode: str = MODE_DENSE,
+    cache=None,
+    sel_img_ids: jnp.ndarray | None = None,  # [K_cap] padded ids into S_kv
+    txt_bias=None,
+):
+    """Run the backbone in one of the three cache modes.
+
+    Returns (v_pred [B, T_img, out_channels], new_cache).
+    In rags mode T_img == K_cap and `sel_img_ids` maps rows into the cache.
+    """
+    x = linear(params["x_embedder"], img.astype(cfg.dtype))
+    temb = mlp_embed(params["time_in"],
+                     timestep_embedding(t, cfg.time_embed_dim).astype(cfg.dtype))
+    if cfg.pooled_dim and pooled is not None:
+        temb = temb + mlp_embed(params["vector_in"], pooled.astype(cfg.dtype))
+    if cfg.guidance_embed and guidance is not None:
+        temb = temb + mlp_embed(
+            params["guidance_in"],
+            timestep_embedding(guidance, cfg.time_embed_dim).astype(cfg.dtype))
+    temb_act = jax.nn.silu(temb)
+    txt_h = linear(params["txt_in"], txt.astype(cfg.dtype))
+
+    t_txt = txt_h.shape[1]
+    dense_like = mode in (MODE_DENSE, MODE_WRITE)
+
+    # ---- double-stream depth under scan ----
+    def dbody(carry, xs):
+        xc, tc = carry
+        pl, ck, cv = xs
+        xc, tc, (nk, nv) = double_block(
+            pl, cfg, xc, tc, temb_act, rope_img, rope_txt, mode, ck, cv,
+            sel_img_ids, txt_bias)
+        return (xc, tc), (nk, nv)
+
+    if mode == MODE_DENSE:
+        dck = jnp.zeros((cfg.depth_double, 0)), jnp.zeros((cfg.depth_double, 0))
+    else:
+        dck = (cache["dk"], cache["dv"])
+    (x, txt_h), (new_dk, new_dv) = jax.lax.scan(
+        dbody, (x, txt_h), (params["double"], dck[0], dck[1]))
+
+    new_cache = None
+    if mode != MODE_DENSE:
+        new_cache = {"dk": new_dk, "dv": new_dv}
+
+    # ---- single-stream depth ----
+    if cfg.depth_single:
+        stream = jnp.concatenate([txt_h, x], axis=1)
+        rope_stream = concat_rope(rope_txt, rope_img)
+        if mode == MODE_RAGS:
+            txt_rows = jnp.arange(t_txt, dtype=sel_img_ids.dtype)
+            sel_stream = jnp.concatenate([txt_rows, sel_img_ids + t_txt])
+        else:
+            sel_stream = None
+
+        def sbody(carry, xs):
+            sc = carry
+            pl, ck, cv = xs
+            sc, (nk, nv) = single_block(
+                pl, cfg, sc, temb_act, rope_stream, mode, ck, cv, sel_stream,
+                txt_bias)
+            return sc, (nk, nv)
+
+        if mode == MODE_DENSE:
+            sck = (jnp.zeros((cfg.depth_single, 0)),
+                   jnp.zeros((cfg.depth_single, 0)))
+        else:
+            sck = (cache["sk"], cache["sv"])
+        stream, (new_sk, new_sv) = jax.lax.scan(
+            sbody, stream, (params["single"], sck[0], sck[1]))
+        x = stream[:, t_txt:]
+        if mode != MODE_DENSE:
+            new_cache["sk"] = new_sk
+            new_cache["sv"] = new_sv
+
+    # ---- final AdaLN + projection ----
+    shift, scale = _modulation(params["final_mod"], temb_act, 2)
+    x = layernorm(x) * (1 + scale) + shift
+    out = linear(params["final_proj"], x)
+    return out, new_cache
+
+
+# ---------------------------------------------------------------------------
+# random init (tests, benchmarks, and scaled dev configs)
+# ---------------------------------------------------------------------------
+
+def init_mmdit(key: jax.Array, cfg: MMDiTConfig):
+    """Random-init parameter pytree; block params stacked on layer axis 0."""
+    dt = cfg.dtype
+    h, inner, mh = cfg.hidden, cfg.inner, cfg.mlp_hidden
+    keys = jax.random.split(key, 8)
+
+    def init_norm():
+        return {"scale": jnp.ones((cfg.head_dim,), dt)}
+
+    def init_attn(k, d_model):
+        ks = jax.random.split(k, 4)
+        return {
+            "q": init_linear(ks[0], d_model, inner, dt),
+            "k": init_linear(ks[1], d_model, inner, dt),
+            "v": init_linear(ks[2], d_model, inner, dt),
+            "out": init_linear(ks[3], inner, d_model, dt),
+            "norm_q": init_norm(),
+            "norm_k": init_norm(),
+        }
+
+    def init_double(k):
+        ks = jax.random.split(k, 8)
+        return {
+            "img_mod": init_linear(ks[0], h, 6 * h, dt),
+            "txt_mod": init_linear(ks[1], h, 6 * h, dt),
+            "img_attn": init_attn(ks[2], h),
+            "txt_attn": init_attn(ks[3], h),
+            "img_mlp": {"in": init_linear(ks[4], h, mh, dt),
+                        "out": init_linear(ks[5], mh, h, dt)},
+            "txt_mlp": {"in": init_linear(ks[6], h, mh, dt),
+                        "out": init_linear(ks[7], mh, h, dt)},
+        }
+
+    def init_single(k):
+        ks = jax.random.split(k, 3)
+        return {
+            "mod": init_linear(ks[0], h, 3 * h, dt),
+            "linear1": init_linear(ks[1], h, 3 * inner + mh, dt),
+            "linear2": init_linear(ks[2], inner + mh, h, dt),
+            "norm_q": init_norm(),
+            "norm_k": init_norm(),
+        }
+
+    params = {
+        "x_embedder": init_linear(keys[0], cfg.in_channels, h, dt),
+        "time_in": init_mlp_embed(keys[1], cfg.time_embed_dim, h, dt),
+        "txt_in": init_linear(keys[2], cfg.txt_in_dim, h, dt),
+        "final_mod": init_linear(keys[3], h, 2 * h, dt),
+        "final_proj": init_linear(keys[4], h, cfg.out_channels, dt),
+        "double": jax.vmap(init_double)(
+            jax.random.split(keys[5], cfg.depth_double)),
+    }
+    if cfg.pooled_dim:
+        params["vector_in"] = init_mlp_embed(keys[6], cfg.pooled_dim, h, dt)
+    if cfg.guidance_embed:
+        params["guidance_in"] = init_mlp_embed(keys[7], cfg.time_embed_dim, h, dt)
+    if cfg.depth_single:
+        params["single"] = jax.vmap(init_single)(
+            jax.random.split(jax.random.fold_in(key, 99), cfg.depth_single))
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -1,0 +1,228 @@
+"""Backend-generic editing pipeline: wires an MMDiT backbone to the RegionE
+sampler.
+
+Responsibilities mirrored from the reference's per-model `__call__`
+reimplementations (RegionE/Step1XEdit/inplace.py:73-457 and twins), factored
+once instead of five times:
+
+  * latent token geometry and 3-axis RoPE id construction (noise tokens get
+    axis0=0, condition tokens axis0=1 — FLUX-Kontext convention);
+  * condition-latent concatenation on dense steps only
+    (reference inplace.py:377-378);
+  * classifier-free guidance assembly.  Step1X concatenates cond/uncond on
+    the batch axis (inplace.py:381-385); Qwen runs two tagged forwards
+    sequentially (QwenImageEdit/inplace.py:371-399) — on TPU we batch the
+    two passes instead (mathematically identical: attention never mixes
+    batch rows, and each batch row owns its own KV-cache slice, which
+    subsumes the reference's per-tag cache pairs k_cache_even/odd);
+  * per-backend guidance combine rules (plain / norm-processed /
+    norm-preserving) via `combine_cfg`.
+
+Subclasses: Step1XEditPipeline, FluxKontextPipeline, QwenImageEditPipeline...
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regione_tpu.core.config import RegionEParams
+from regione_tpu.core.gamma import gamma_for
+from regione_tpu.core.sampler import RegionESampler, SampleStats
+from regione_tpu.core.schedule import build_sigmas, build_stage_plan, calculate_shift
+from regione_tpu.models.layers import gather_rope, rope_table
+from regione_tpu.models.mmdit import (
+    MMDiTConfig,
+    MODE_DENSE,
+    MODE_RAGS,
+    MODE_WRITE,
+    init_cache,
+    mmdit_forward,
+)
+
+
+def latent_grid_ids(grid_h: int, grid_w: int, axis0: int = 0) -> np.ndarray:
+    """[S, 3] (axis0, y, x) rotary position ids for a token grid."""
+    ys, xs = np.meshgrid(np.arange(grid_h), np.arange(grid_w), indexing="ij")
+    ids = np.stack([np.full_like(ys, axis0), ys, xs], axis=-1)
+    return ids.reshape(-1, 3).astype(np.float32)
+
+
+def txt_ids(t_txt: int) -> np.ndarray:
+    """Text rotary ids: zeros (FLUX/Step1X convention)."""
+    return np.zeros((t_txt, 3), np.float32)
+
+
+@dataclasses.dataclass
+class EditInputs:
+    """Per-image prepared inputs (the `ctx` pytree threaded through jit)."""
+    txt: jnp.ndarray               # [Bc, T_txt, txt_in_dim] (Bc=2 if batch CFG)
+    cond_latent: jnp.ndarray       # [1, S_cond, C]
+    rope_img: Any                  # (cos, sin) over S_kv = S_noise + S_cond rows
+    rope_txt: Any                  # (cos, sin) over T_txt rows
+    pooled: jnp.ndarray | None = None    # [Bc, pooled_dim]
+    guidance: jnp.ndarray | None = None  # [Bc]
+    txt_bias: jnp.ndarray | None = None  # additive attention bias for padded txt
+    extra: dict = dataclasses.field(default_factory=dict)
+
+
+jax.tree_util.register_dataclass(
+    EditInputs,
+    data_fields=["txt", "cond_latent", "rope_img", "rope_txt", "pooled",
+                 "guidance", "txt_bias", "extra"],
+    meta_fields=[],
+)
+
+
+class EditPipelineBase:
+    """Shared machinery; subclasses set `backend`, CFG policy and encoders."""
+
+    backend: str = "generic"
+    uses_batch_cfg: bool = False   # duplicate inputs on batch axis for CFG
+    cond_axis0: int = 1            # rope axis-0 tag for condition tokens
+
+    def __init__(
+        self,
+        model_cfg: MMDiTConfig,
+        params,
+        re_params: RegionEParams | None = None,
+        gamma: np.ndarray | None = None,
+        true_cfg_scale: float = 1.0,
+    ):
+        self.cfg = model_cfg
+        self.params = params
+        self.re = (re_params or RegionEParams()).validate()
+        self.gamma = gamma if gamma is not None else gamma_for(self.backend)
+        self.true_cfg_scale = true_cfg_scale
+        self._samplers: dict[tuple, RegionESampler] = {}
+
+    # -- backend hooks ------------------------------------------------------
+
+    def combine_cfg(self, v_pos, v_neg, sigma):
+        """Default: plain true-CFG combine."""
+        return v_neg + self.true_cfg_scale * (v_pos - v_neg)
+
+    @property
+    def do_cfg(self) -> bool:
+        return self.uses_batch_cfg and self.true_cfg_scale > 1.0
+
+    # -- rope / geometry ----------------------------------------------------
+
+    def build_rope(self, grid_h: int, grid_w: int, t_txt: int):
+        img_ids = latent_grid_ids(grid_h, grid_w, axis0=0)
+        cond_ids = latent_grid_ids(grid_h, grid_w, axis0=self.cond_axis0)
+        kv_ids = np.concatenate([img_ids, cond_ids], 0)
+        rope_img = rope_table(jnp.asarray(kv_ids), self.cfg.axes_dims,
+                              self.cfg.rope_theta)
+        rope_t = rope_table(jnp.asarray(txt_ids(t_txt)), self.cfg.axes_dims,
+                            self.cfg.rope_theta)
+        return rope_img, rope_t
+
+    # -- model forward hooks passed to the sampler --------------------------
+
+    def _expand_cfg(self, x):
+        """Duplicate the latent stream on the batch axis for batch CFG."""
+        if self.do_cfg:
+            return jnp.concatenate([x, x], axis=0)
+        return x
+
+    def _model_batch(self, lat_b: jnp.ndarray) -> jnp.ndarray:
+        return self._expand_cfg(lat_b.astype(self.cfg.dtype))
+
+    def _combine(self, v, sigma):
+        v = v.astype(jnp.float32)
+        if self.do_cfg:
+            v_pos, v_neg = jnp.split(v, 2, axis=0)
+            return self.combine_cfg(v_pos, v_neg, sigma)
+        return v
+
+    def dense_forward(self, lat, sigma, cache, ctx: EditInputs, write: bool):
+        """Full-sequence forward: [noise ‖ condition] image stream."""
+        s_noise = lat.shape[1]
+        img_in = jnp.concatenate(
+            [lat.astype(self.cfg.dtype),
+             jnp.broadcast_to(ctx.cond_latent.astype(self.cfg.dtype),
+                              (lat.shape[0],) + ctx.cond_latent.shape[1:])],
+            axis=1)
+        img_in = self._expand_cfg(img_in)
+        b = img_in.shape[0]
+        t = jnp.full((b,), sigma, self.cfg.dtype)
+        v, cache = mmdit_forward(
+            self.params, self.cfg, img_in, ctx.txt, t,
+            ctx.rope_img, ctx.rope_txt,
+            pooled=ctx.pooled, guidance=ctx.guidance,
+            mode=MODE_WRITE if write else MODE_DENSE, cache=cache,
+            txt_bias=ctx.txt_bias)
+        v = v[:, :s_noise]
+        return self._combine(v, sigma), cache
+
+    def rags_forward(self, lat_act, sigma, cache, ids, ctx: EditInputs):
+        """Gathered edited-token forward against the frozen KV cache."""
+        img_in = self._expand_cfg(lat_act.astype(self.cfg.dtype))
+        b = img_in.shape[0]
+        t = jnp.full((b,), sigma, self.cfg.dtype)
+        # The sampler pads ids with sentinel S_noise (invalid for latents but
+        # a REAL row — the first condition token — in the S_kv=2*S_noise KV
+        # cache).  Remap invalid slots past the end of every cache (the
+        # single-block cache adds t_txt, so s_kv + t_txt stays OOB too) so
+        # padded K/V writes are dropped, never corrupting condition rows.
+        s_noise = ctx.cond_latent.shape[1]
+        s_kv = 2 * s_noise
+        ids_cache = jnp.where(ids < s_noise, ids, s_kv)
+        rope_act = gather_rope(ctx.rope_img, ids_cache)
+        v, cache = mmdit_forward(
+            self.params, self.cfg, img_in, ctx.txt, t,
+            rope_act, ctx.rope_txt,
+            pooled=ctx.pooled, guidance=ctx.guidance,
+            mode=MODE_RAGS, cache=cache, sel_img_ids=ids_cache,
+            txt_bias=ctx.txt_bias)
+        return self._combine(v, sigma), cache
+
+    # -- sampler construction ------------------------------------------------
+
+    def sampler_for(self, grid_h: int, grid_w: int, t_txt: int, batch_cache: int
+                    ) -> RegionESampler:
+        key = (grid_h, grid_w, t_txt, batch_cache)
+        if key in self._samplers:
+            return self._samplers[key]
+        s_noise = grid_h * grid_w
+        steps = self.re.num_inference_steps
+        mu = calculate_shift(s_noise)
+        sigmas = build_sigmas(steps, mu=mu)
+        plan = build_stage_plan(self.re, sigmas, self.gamma)
+        s_kv = 2 * s_noise  # noise + condition rows
+
+        def make_cache():
+            return init_cache(self.cfg, batch_cache, s_kv, t_txt)
+
+        sampler = RegionESampler(
+            plan, self.re,
+            grid_h=grid_h, grid_w=grid_w,
+            dense_forward=self.dense_forward,
+            rags_forward=self.rags_forward,
+            init_cache=make_cache,
+        )
+        self._samplers[key] = sampler
+        return sampler
+
+    # -- top-level latent-space edit -----------------------------------------
+
+    def edit_latents(
+        self,
+        latents0: jnp.ndarray,      # [1, S_noise, C] initial noise
+        ctx: EditInputs,
+        grid_h: int,
+        grid_w: int,
+        dense_only: bool = False,
+    ) -> tuple[jnp.ndarray, SampleStats | None]:
+        t_txt = ctx.txt.shape[1]
+        batch_cache = 2 if self.do_cfg else 1
+        sampler = self.sampler_for(grid_h, grid_w, t_txt, batch_cache)
+        if dense_only or not getattr(self, "_regione_enabled", True):
+            return sampler.sample_dense(latents0, ctx), None
+        return sampler.sample(latents0, ctx.cond_latent, ctx)

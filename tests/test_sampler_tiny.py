@@ -1,0 +1,105 @@
+"""End-to-end tiny-model tests of the compiled RegionE sampler.
+
+Two gates (SURVEY.md §7.4 minimum slice):
+  (a) the dense path is exactly plain flow-match Euler;
+  (b) the full accelerated path (static plan + fixed-capacity gathering +
+      attention-ready KV cache + AVD) matches the reference-style
+      dynamic-shape oracle (tests/oracle.py) to float tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from regione_tpu.core.config import RegionEParams
+from regione_tpu.core.gamma import gamma_for
+from regione_tpu.core.schedule import build_sigmas, build_stage_plan, calculate_shift
+from regione_tpu.models.mmdit import MODE_DENSE, init_mmdit, mmdit_forward
+from regione_tpu.models.presets import get_config
+from regione_tpu.pipelines.base import EditInputs, EditPipelineBase
+from tests.oracle import oracle_edit
+
+GRID = 8
+S = GRID * GRID
+T_TXT = 4
+
+
+def make_pipe(threshold=0.0, cache_threshold=0.05, erosion_dilation=False,
+              refresh=(16,), preset="tiny", seed=0):
+    cfg = get_config(preset)
+    params = init_mmdit(jax.random.PRNGKey(seed), cfg)
+    re = RegionEParams(
+        threshold=threshold, cache_threshold=cache_threshold,
+        erosion_dilation=erosion_dilation, refresh_step=refresh,
+        capacity_granularity=8,
+    )
+    pipe = EditPipelineBase(cfg, params, re, gamma=gamma_for("step1x-edit"))
+    return cfg, params, re, pipe
+
+
+def make_inputs(cfg, pipe, seed=1):
+    rng = np.random.default_rng(seed)
+    txt = rng.standard_normal((1, T_TXT, cfg.txt_in_dim)).astype(np.float32)
+    pooled = rng.standard_normal((1, cfg.pooled_dim)).astype(np.float32)
+    cond = rng.standard_normal((1, S, cfg.in_channels)).astype(np.float32) * 0.5
+    lat0 = rng.standard_normal((1, S, cfg.in_channels)).astype(np.float32)
+    rope_img, rope_txt = pipe.build_rope(GRID, GRID, T_TXT)
+    ctx = EditInputs(
+        txt=jnp.asarray(txt), cond_latent=jnp.asarray(cond),
+        rope_img=rope_img, rope_txt=rope_txt, pooled=jnp.asarray(pooled),
+    )
+    return ctx, jnp.asarray(lat0), txt, pooled, cond, lat0
+
+
+def test_dense_path_is_plain_euler():
+    cfg, params, re, pipe = make_pipe()
+    ctx, lat0, *_ = make_inputs(cfg, pipe)
+    got = np.asarray(pipe.edit_latents(lat0, ctx, GRID, GRID, dense_only=True)[0])
+
+    # manual Euler loop, direct model calls (no sampler machinery)
+    mu = calculate_shift(S)
+    sigmas = build_sigmas(28, mu=mu)
+    lat = np.asarray(lat0, np.float32)
+    for i in range(28):
+        img_in = jnp.concatenate(
+            [jnp.asarray(lat, cfg.dtype), ctx.cond_latent.astype(cfg.dtype)], 1)
+        v, _ = mmdit_forward(
+            params, cfg, img_in, ctx.txt,
+            jnp.full((1,), sigmas[i], cfg.dtype),
+            ctx.rope_img, ctx.rope_txt, pooled=ctx.pooled, mode=MODE_DENSE)
+        lat = lat + float(sigmas[i + 1] - sigmas[i]) * np.asarray(v, np.float32)[:, :S]
+    np.testing.assert_allclose(got, lat, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("erosion_dilation,threshold",
+                         [(False, 0.0), (True, 0.2)])
+def test_regione_matches_reference_oracle(erosion_dilation, threshold):
+    cfg, params, re, pipe = make_pipe(
+        threshold=threshold, erosion_dilation=erosion_dilation)
+    ctx, lat0, txt, pooled, cond, lat0_np = make_inputs(cfg, pipe)
+
+    got, stats = pipe.edit_latents(lat0, ctx, GRID, GRID)
+    got = np.asarray(got)
+
+    want, edited = oracle_edit(
+        params, cfg, re, gamma_for("step1x-edit"),
+        lat0_np, cond, txt, GRID, GRID, pooled=pooled)
+
+    # the partition must be non-degenerate for this test to mean anything
+    assert 0 < stats.edited_tokens < S, (
+        f"degenerate partition ({stats.edited_tokens}/{S}); tune threshold")
+    assert stats.edited_tokens == len(edited)
+    assert stats.reuse_steps > 0, "AVD never fired; tune cache_threshold"
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_regione_multi_refresh_matches_oracle():
+    cfg, params, re, pipe = make_pipe(refresh=(12, 16))
+    ctx, lat0, txt, pooled, cond, lat0_np = make_inputs(cfg, pipe, seed=3)
+    got, stats = pipe.edit_latents(lat0, ctx, GRID, GRID)
+    want, _ = oracle_edit(
+        params, cfg, re, gamma_for("step1x-edit"),
+        lat0_np, cond, txt, GRID, GRID, pooled=pooled)
+    assert 0 < stats.edited_tokens < S
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
