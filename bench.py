@@ -1,0 +1,128 @@
+"""End-to-end RegionE-vs-dense benchmark on the flagship model.
+
+Measures the headline metric of the reference (BASELINE.md): end-to-end
+edit speedup of the RegionE-accelerated 28-step denoise vs the vanilla
+dense 28-step denoise, same seed and shapes, plus latent-domain PSNR of the
+accelerated output against the dense output (algorithmic fidelity).
+
+Workload: Step1X-Edit-topology backbone (dev scale so it fits one v5e
+chip alongside its KV caches), 1024x1024-equivalent token grid (64x64 =
+4096 noise tokens + 4096 condition tokens + text), batch-concat true CFG —
+the same shapes the reference's headline row uses.  The edited region is
+pinned to a quarter of the token grid (the workload regime RegionE's
+headline numbers target); the adaptive partition itself is correctness-
+tested in tests/.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+vs_baseline is speedup / 2.572 (reference Step1X-Edit headline, README.md:23).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    peak = float(max(a.max() - a.min(), 1e-9))
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from regione_tpu.core.config import RegionEParams
+    from regione_tpu.models.mmdit import init_mmdit, param_count
+    from regione_tpu.models.presets import get_config
+    from regione_tpu.pipelines.base import EditInputs
+    from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
+
+    GRID = 64                      # 1024px / (vae 8 * patch 2) = 64 -> 4096 tokens
+    T_TXT = 128
+    SEED = 110                     # reference demo seed (src/Step1X-Edit/main.py:57)
+    preset = "step1x-edit:dev"
+
+    cfg = get_config(preset)
+    params = init_mmdit(jax.random.PRNGKey(0), cfg)
+    re = RegionEParams()           # step1x defaults: warmup 6, post 2, refresh 16,
+    re = re.replace(threshold=0.88, cache_threshold=0.02)
+    pipe = Step1XEditPipeline(cfg, params, re)
+
+    rng = np.random.default_rng(SEED)
+    s = GRID * GRID
+    rope_img, rope_txt = pipe.build_rope(GRID, GRID, T_TXT)
+    lat0 = jnp.asarray(rng.standard_normal((1, s, cfg.in_channels)), jnp.float32)
+
+    def make_ctx(cond):
+        return EditInputs(
+            txt=jnp.asarray(rng.standard_normal((2, T_TXT, cfg.txt_in_dim)), cfg.dtype),
+            cond_latent=jnp.asarray(cond, jnp.float32),
+            rope_img=rope_img, rope_txt=rope_txt,
+            pooled=jnp.asarray(rng.standard_normal((2, cfg.pooled_dim)), cfg.dtype),
+        )
+
+    # ---- controlled ~25%-edited workload -----------------------------------
+    # With random (untrained) weights the cosine partition against a
+    # synthetic reference latent is arbitrary, so the benchmark pins the
+    # edited region to the top-left quarter of the token grid — the
+    # workload regime RegionE's headline numbers target.  The adaptive
+    # partition path itself is correctness-tested in tests/.
+    q = GRID // 2
+    block = np.zeros((GRID, GRID), bool)
+    block[:q, :q] = True
+    forced_mask = jnp.asarray(block.reshape(-1))
+    ctx = make_ctx(rng.standard_normal((1, s, cfg.in_channels)))
+
+    # ---- dense baseline ---------------------------------------------------
+    out_dense = pipe.edit_latents(lat0, ctx, GRID, GRID, dense_only=True)[0]
+    jax.block_until_ready(out_dense)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out_dense = pipe.edit_latents(lat0, ctx, GRID, GRID, dense_only=True)[0]
+        jax.block_until_ready(out_dense)
+        times.append(time.perf_counter() - t0)
+    t_dense = min(times)
+
+    # ---- RegionE ------------------------------------------------------------
+    out_re, stats = pipe.edit_latents(lat0, ctx, GRID, GRID,
+                                      forced_mask=forced_mask)
+    jax.block_until_ready(out_re)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out_re, stats = pipe.edit_latents(lat0, ctx, GRID, GRID,
+                                          forced_mask=forced_mask)
+        jax.block_until_ready(out_re)
+        times.append(time.perf_counter() - t0)
+    t_re = min(times)
+
+    speedup = t_dense / t_re
+    fidelity = psnr(np.asarray(out_dense), np.asarray(out_re))
+    print(json.dumps({
+        "metric": "end-to-end edit speedup vs dense 28-step denoise",
+        "value": round(speedup, 4),
+        "unit": "x",
+        "vs_baseline": round(speedup / 2.572, 4),
+        "dense_s": round(t_dense, 4),
+        "regione_s": round(t_re, 4),
+        "psnr_latent_vs_dense": round(fidelity, 2),
+        "edited_tokens": stats.edited_tokens,
+        "capacity": stats.capacity,
+        "seq_len": stats.seq_len,
+        "reuse_steps": stats.reuse_steps,
+        "params": param_count(params),
+        "model": preset,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""CLI bench/demo/evaluation driver.
+
+Flag-compatible with the reference experimental drivers
+(src/Step1X-Edit/main.py:12-41 and twins): `--use_regione` toggles the
+accelerated path vs. the vanilla dense baseline at pinned resolution; the
+six RegionE knobs keep their names; demo mode iterates a jsonl of
+(image, prompt) pairs; `--evaluation` walks data/Processed/<bench>/<task>
+dirs writing generation/*.png + time_consuming.json + metadata.json in the
+same schema (src/Step1X-Edit/main.py:77-130), so the reference's evaluation
+stack runs unchanged on our outputs.
+
+Model weights: `--model_path` points at a converted checkpoint directory
+(see regione_tpu.weights.convert).  Without one, `--random_weights` runs
+the architecture with seeded random weights (timing/integration work in
+environments without the checkpoints, e.g. this zero-egress container).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_pipeline(args):
+    import jax
+    from regione_tpu.core.config import DEFAULT_PARAMS
+    from regione_tpu.models.mmdit import init_mmdit
+    from regione_tpu.models.presets import get_config
+    from regione_tpu.models.text_encoders import MockTextEncoder
+    from regione_tpu.models import vae as V
+    from regione_tpu.pipelines.step1x_edit import (
+        Step1XEditPipeline, Step1XEditV1P2Pipeline)
+    from regione_tpu.pipelines.flux_kontext import FluxKontextPipeline
+    from regione_tpu.pipelines.qwen_image_edit import (
+        QwenImageEditPipeline, QwenImageEditPlusPipeline)
+
+    classes = {
+        "step1x-edit": Step1XEditPipeline,
+        "step1x-edit-v1p2": Step1XEditV1P2Pipeline,
+        "flux-kontext": FluxKontextPipeline,
+        "qwen-image-edit": QwenImageEditPipeline,
+        "qwen-image-edit-plus": QwenImageEditPlusPipeline,
+    }
+    backend = args.backend
+    preset = backend + (":dev" if args.dev else "")
+    try:
+        cfg = get_config(preset)
+    except KeyError:
+        cfg = get_config(backend)
+
+    re = DEFAULT_PARAMS[backend].replace(
+        warmup_step=args.warmup_step, post_step=args.post_step,
+        refresh_step=args.refresh_step, threshold=args.threshold,
+        cache_threshold=args.cache_threshold,
+        erosion_dilation=args.erosion_dilation).validate()
+
+    if args.model_path:
+        from regione_tpu.weights.convert import load_converted
+        params, vae_cfg, vae_params, encoder = load_converted(
+            args.model_path, cfg)
+    else:
+        params = init_mmdit(jax.random.PRNGKey(args.seed), cfg)
+        vae_cfg = V.VAEConfig(block_out_channels=(32, 64),
+                              norm_num_groups=16, layers_per_block=1)
+        vae_params = init_vae_cached(vae_cfg, args.seed)
+        encoder = MockTextEncoder(cfg.txt_in_dim,
+                                  cfg.pooled_dim or None, max_length=64)
+
+    pipe = classes[backend](cfg, params, re)
+    pipe.attach_vae(vae_cfg, vae_params)
+    pipe.attach_text_encoder(encoder)
+    pipe._regione_enabled = args.use_regione
+    return pipe
+
+
+def init_vae_cached(vae_cfg, seed):
+    import jax
+    from regione_tpu.models.vae import init_vae
+    return init_vae(jax.random.PRNGKey(seed + 1), vae_cfg)
+
+
+def save_png(path: Path, img_uint8: np.ndarray):
+    from PIL import Image
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(img_uint8).save(path)
+
+
+def load_image(path: str) -> np.ndarray:
+    from PIL import Image
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def run_demo(pipe, args):
+    import jax
+    items = [json.loads(l) for l in open(args.data_jsonl)] if args.data_jsonl \
+        else [{"image": args.image_path, "prompt": args.prompt}]
+    out_dir = Path(args.output_dir)
+    times = []
+    for i, item in enumerate(items):
+        img = load_image(item["image"])
+        t0 = time.perf_counter()
+        out, stats = pipe(img, item["prompt"], seed=args.seed,
+                          width=args.size_level, height=args.size_level,
+                          output_type="uint8")
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        save_png(out_dir / f"demo_{i}.png", out)
+        print(f"[{i}] {dt:.2f}s edited={getattr(stats, 'edited_tokens', '-')} "
+              f"prompt={item['prompt'][:60]!r}")
+    if times:
+        print(f"avg {np.mean(times):.3f}s over {len(times)} images")
+
+
+def run_evaluation(pipe, args):
+    """Reference schema (src/Step1X-Edit/main.py:77-130): per task dir with
+    metadata.jsonl -> generation/*.png + time_consuming.json + metadata.json."""
+    import jax
+    root = Path(args.eval_dir)
+    for task_dir in sorted(p for p in root.iterdir() if p.is_dir()):
+        meta_file = task_dir / "metadata.jsonl"
+        if not meta_file.exists():
+            continue
+        out_task = Path(args.output_dir) / task_dir.name
+        gen_dir = out_task / "generation"
+        times, metadata = [], {}
+        for line in open(meta_file):
+            item = json.loads(line)
+            key = item.get("key") or Path(item["image"]).stem
+            img = load_image(str(task_dir / "img" / item["image"])
+                             if not os.path.isabs(item["image"]) else item["image"])
+            t0 = time.perf_counter()
+            out, _ = pipe(img, item["prompt"], seed=args.seed,
+                          output_type="uint8")
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+            save_png(gen_dir / f"{key}.png", out)
+            metadata[key] = item["prompt"]
+        out_task.mkdir(parents=True, exist_ok=True)
+        json.dump({"num_item": len(times),
+                   "ave": float(np.mean(times)) if times else 0.0,
+                   "list": times},
+                  open(out_task / "time_consuming.json", "w"), indent=2)
+        json.dump(metadata, open(out_task / "metadata.json", "w"), indent=2)
+        print(f"{task_dir.name}: {len(times)} items, "
+              f"avg {np.mean(times) if times else 0:.2f}s")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("regione-tpu")
+    ap.add_argument("--backend", default="step1x-edit",
+                    choices=["step1x-edit", "step1x-edit-v1p2", "flux-kontext",
+                             "qwen-image-edit", "qwen-image-edit-plus"])
+    ap.add_argument("--model_path", default=None)
+    ap.add_argument("--use_regione", action="store_true")
+    ap.add_argument("--warmup_step", type=int, default=6)
+    ap.add_argument("--post_step", type=int, default=2)
+    ap.add_argument("--refresh_step", default="16")
+    ap.add_argument("--threshold", type=float, default=0.88)
+    ap.add_argument("--cache_threshold", type=float, default=0.02)
+    ap.add_argument("--erosion_dilation", type=lambda s: s != "False",
+                    default=True)
+    ap.add_argument("--seed", type=int, default=110)
+    ap.add_argument("--size_level", type=int, default=None)
+    ap.add_argument("--image_path", default=None)
+    ap.add_argument("--prompt", default=None)
+    ap.add_argument("--data_jsonl", default=None)
+    ap.add_argument("--output_dir", default="outputs")
+    ap.add_argument("--evaluation", action="store_true")
+    ap.add_argument("--eval_dir", default=None)
+    ap.add_argument("--num_warmup_runs", type=int, default=0,
+                    help="full-pipeline warmup invocations before timing "
+                         "(reference does 3, main.py:50-58)")
+    ap.add_argument("--dev", action="store_true",
+                    help="use the scaled :dev architecture preset")
+    ap.add_argument("--random_weights", action="store_true")
+    args = ap.parse_args(argv)
+
+    pipe = build_pipeline(args)
+    if args.num_warmup_runs and args.image_path:
+        img = load_image(args.image_path)
+        for _ in range(args.num_warmup_runs):
+            pipe(img, args.prompt or "warmup", seed=args.seed)
+    if args.evaluation:
+        run_evaluation(pipe, args)
+    else:
+        run_demo(pipe, args)
+
+
+if __name__ == "__main__":
+    main()

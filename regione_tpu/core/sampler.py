@@ -91,12 +91,15 @@ class RegionESampler:
     # public API
     # ------------------------------------------------------------------
 
-    def sample(self, latents0: jnp.ndarray, cond_latent: jnp.ndarray, ctx
+    def sample(self, latents0: jnp.ndarray, cond_latent: jnp.ndarray, ctx,
+               forced_mask: jnp.ndarray | None = None,
                ) -> tuple[jnp.ndarray, SampleStats]:
         """Run the full accelerated denoise.  latents0/cond_latent:
-        [B, S_noise, C].  Returns (final latents f32, stats)."""
+        [B, S_noise, C].  `forced_mask` overrides the adaptive partition
+        with a fixed edited mask (controlled benchmarking / ablations).
+        Returns (final latents f32, stats)."""
         s_noise = latents0.shape[1]
-        lat, mask, cache = self._sts_jit(latents0, cond_latent, ctx)
+        lat, mask, cache = self._sts_jit(latents0, cond_latent, ctx, forced_mask)
         n_edit = int(jax.device_get(jnp.sum(mask)))
         cap = self.re.rags_capacity or pick_capacity(
             n_edit, s_noise, self.re.capacity_granularity)
@@ -141,7 +144,7 @@ class RegionESampler:
     # segment 1: STS + partition
     # ------------------------------------------------------------------
 
-    def _sts(self, latents, cond_latent, ctx):
+    def _sts(self, latents, cond_latent, ctx, forced_mask=None):
         warm = self.plan[: self.re.warmup_step - 1]
         part = self.plan[self.re.warmup_step - 1]
         assert part.sched_role == SCHED_PARTITION
@@ -164,12 +167,15 @@ class RegionESampler:
         # one-step x0 estimate vs reference latent -> edited mask
         # (reference inplace.py:653-656)
         x0 = lat + part.dt_final * v
-        mask = select_edited_mask(
-            x0, cond_latent.astype(jnp.float32), self.re.threshold,
-            grid_h=self.grid_h, grid_w=self.grid_w,
-            erosion_dilation=self.re.erosion_dilation,
-            similarity_type=self.re.similarity_type,
-        )
+        if forced_mask is not None:
+            mask = forced_mask
+        else:
+            mask = select_edited_mask(
+                x0, cond_latent.astype(jnp.float32), self.re.threshold,
+                grid_h=self.grid_h, grid_w=self.grid_w,
+                erosion_dilation=self.re.erosion_dilation,
+                similarity_type=self.re.similarity_type,
+            )
         # split step: edited rows take the normal Euler step, unedited rows
         # long-jump to the refresh sigma (reference inplace.py:653-668)
         lat = masking.where_rows(mask, lat + part.dt * v, lat + part.dt_jump * v)

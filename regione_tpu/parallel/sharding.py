@@ -1,0 +1,92 @@
+"""Multi-chip sharding: device mesh + parameter partition specs.
+
+The reference has no distributed code at all (SURVEY.md §2.2) — this is the
+TPU-native capability extension: Megatron-style tensor parallelism of the
+MMDiT over the ICI mesh axis "tp" plus batch/data parallelism over "dp",
+expressed as GSPMD sharding constraints (`jax.sharding.NamedSharding`) so
+XLA inserts the all-reduces itself; no hand-written collectives.
+
+TP layout (per block, weights are [L, d_in, d_out] stacked on layers):
+  * qkv / mlp-in / fused linear1   : shard d_out  -> heads & mlp split
+  * attn-out / mlp-out / linear2   : shard d_in   -> psum at output
+  * modulations, norms, embedders  : replicated (tiny)
+KV caches shard on the feature (heads*head_dim) axis; latents on batch.
+
+The 20B Qwen backbone (~40 GB bf16) needs tp>=4 on v5e (16 GB HBM/chip) —
+SURVEY.md §7.3.8.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
+    """Create a (dp, tp) mesh over the first n devices.  dp defaults to 1
+    (editing is batch-1/2 work; tp is where the win is)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    dp = dp or 1
+    assert n % dp == 0, f"{n} devices not divisible by dp={dp}"
+    mesh_devs = mesh_utils.create_device_mesh((dp, n // dp), devices=devs[:n])
+    return Mesh(mesh_devs, axis_names=("dp", "tp"))
+
+
+# (regex over '/'-joined param path) -> PartitionSpec for stacked [L, i, o]
+# or flat [i, o] weights.  First match wins; default replicated.
+_RULES: list[tuple[str, P]] = [
+    # column-parallel (shard output features)
+    (r"(img_attn|txt_attn)/(q|k|v)/w$", P(None, None, "tp")),
+    (r"(img_mlp|txt_mlp)/in/w$", P(None, None, "tp")),
+    (r"linear1/w$", P(None, None, "tp")),
+    (r"(img_attn|txt_attn)/(q|k|v)/b$", P(None, "tp")),
+    (r"(img_mlp|txt_mlp)/in/b$", P(None, "tp")),
+    (r"linear1/b$", P(None, "tp")),
+    # row-parallel (shard input features; XLA psums the partial outputs)
+    (r"(img_attn|txt_attn)/out/w$", P(None, "tp", None)),
+    (r"(img_mlp|txt_mlp)/out/w$", P(None, "tp", None)),
+    (r"linear2/w$", P(None, "tp", None)),
+]
+
+
+def _spec_for(path: str, ndim: int) -> P:
+    for pat, spec in _RULES:
+        if re.search(pat, path):
+            if len(spec) == ndim:
+                return spec
+            if len(spec) == ndim + 1:  # unstacked variant of a stacked rule
+                return P(*spec[1:])
+    return P()  # replicated
+
+
+def param_specs(params) -> Any:
+    """PartitionSpec pytree matching the param pytree."""
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    specs = []
+    for path, leaf in flat[0]:
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        specs.append(_spec_for(p, leaf.ndim))
+    return jax.tree_util.tree_unflatten(flat[1], specs)
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put the param pytree with TP shardings over the mesh."""
+    specs = param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def cache_specs(cache) -> Any:
+    """KV caches [L, B, S, H*dh]: shard the flattened head axis on tp and
+    batch on dp."""
+    return jax.tree.map(lambda x: P(None, "dp", None, "tp"), cache)
+
+
+def latent_spec() -> P:
+    return P("dp", None, None)

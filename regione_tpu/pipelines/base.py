@@ -210,6 +210,123 @@ class EditPipelineBase:
         self._samplers[key] = sampler
         return sampler
 
+    # -- image-level API ------------------------------------------------------
+
+    def attach_vae(self, vae_cfg, vae_params) -> "EditPipelineBase":
+        self.vae_cfg = vae_cfg
+        self.vae_params = vae_params
+        return self
+
+    def attach_text_encoder(self, encoder) -> "EditPipelineBase":
+        self.text_encoder = encoder
+        return self
+
+    def target_resolution(self, width: int, height: int) -> tuple[int, int]:
+        """Default: scale to ~1024^2 area, multiples of 16 (patch 2 x vae 8).
+        Backends override (Kontext preferred-resolution snap, Qwen /32)."""
+        area = 1024 * 1024
+        ratio = width / height
+        w = int(round((area * ratio) ** 0.5 / 16) * 16)
+        h = int(round((w / ratio) / 16) * 16)
+        return max(16, w), max(16, h)
+
+    def _to_array(self, image) -> np.ndarray:
+        """PIL / uint8 / float image -> float32 [H, W, 3] in [-1, 1]."""
+        arr = np.asarray(image)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        arr = arr.astype(np.float32)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, -1)
+        if arr.shape[-1] == 4:
+            arr = arr[..., :3]
+        if arr.max() > 1.5:  # 0..255 floats
+            arr = arr / 255.0
+        return arr * 2.0 - 1.0
+
+    def _resize(self, arr: np.ndarray, w: int, h: int) -> np.ndarray:
+        return np.asarray(jax.image.resize(
+            jnp.asarray(arr), (h, w, arr.shape[-1]), "bilinear"))
+
+    def encode_image(self, image, width: int, height: int) -> jnp.ndarray:
+        """reference encode_image (inplace.py:188-194): VAE-encode the
+        reference image into condition latent tokens [1, S, 4*C_lat]."""
+        from regione_tpu.models import vae as V
+        arr = self._to_array(image)
+        arr = self._resize(arr, width, height)
+        z = V.encode(self.vae_params["encoder"], self.vae_cfg, arr[None])
+        z = V.normalize_latents(self.vae_cfg, z)
+        return V.pack_latents(z)
+
+    def prepare_inputs(self, image, prompt: str, negative_prompt: str = "",
+                       width: int | None = None, height: int | None = None,
+                       guidance_scale: float | None = None):
+        """Encode image + prompts, build rope tables and the ctx pytree."""
+        arr = np.asarray(image)
+        h0, w0 = arr.shape[:2]
+        width, height = self.target_resolution(width or w0, height or h0)
+        grid_h, grid_w = height // 16, width // 16
+
+        cond = self.encode_image(image, width, height)
+        emb_p, pooled_p, mask_p = self.text_encoder.encode(prompt)
+        if self.do_cfg:
+            emb_n, pooled_n, mask_n = self.text_encoder.encode(negative_prompt)
+            txt = jnp.asarray(np.concatenate([emb_p, emb_n], 0), self.cfg.dtype)
+            mask = np.concatenate([mask_p, mask_n], 0)
+            pooled = (jnp.asarray(np.concatenate([pooled_p, pooled_p], 0),
+                                  self.cfg.dtype)
+                      if pooled_p is not None else None)
+        else:
+            txt = jnp.asarray(emb_p, self.cfg.dtype)
+            mask = mask_p
+            pooled = (jnp.asarray(pooled_p, self.cfg.dtype)
+                      if pooled_p is not None else None)
+
+        t_txt = txt.shape[1]
+        s_kv = 2 * grid_h * grid_w
+        bias = np.zeros((mask.shape[0], 1, 1, t_txt + s_kv), np.float32)
+        bias[..., :t_txt] = np.where(mask, 0.0, -1e9)[:, None, None, :]
+        rope_img, rope_txt = self.build_rope(grid_h, grid_w, t_txt)
+
+        guidance = None
+        if self.cfg.guidance_embed:
+            gs = guidance_scale if guidance_scale is not None else getattr(
+                self, "guidance_scale", 3.5)
+            b = txt.shape[0]
+            guidance = jnp.full((b,), gs, jnp.float32)
+
+        ctx = EditInputs(txt=txt, cond_latent=cond, rope_img=rope_img,
+                         rope_txt=rope_txt, pooled=pooled, guidance=guidance,
+                         txt_bias=jnp.asarray(bias))
+        return ctx, (width, height, grid_h, grid_w)
+
+    def __call__(self, image, prompt: str, negative_prompt: str = "",
+                 width: int | None = None, height: int | None = None,
+                 seed: int = 0, guidance_scale: float | None = None,
+                 output_type: str = "np"):
+        """Full instruction edit: encode -> (accelerated) denoise -> decode.
+
+        Mirrors the reference pipeline __call__ (inplace.py:73-457) minus
+        diffusers plumbing.  Requires attach_vae + attach_text_encoder."""
+        from regione_tpu.models import vae as V
+        if not hasattr(self, "vae_params") or not hasattr(self, "text_encoder"):
+            raise RuntimeError(
+                "attach_vae(...) and attach_text_encoder(...) first (or use "
+                "edit_latents for latent-space operation)")
+        ctx, (width, height, grid_h, grid_w) = self.prepare_inputs(
+            image, prompt, negative_prompt, width, height, guidance_scale)
+        key = jax.random.PRNGKey(seed)
+        lat0 = jax.random.normal(
+            key, (1, grid_h * grid_w, self.cfg.in_channels), jnp.float32)
+        lat, stats = self.edit_latents(lat0, ctx, grid_h, grid_w)
+        z = V.unpack_latents(lat.astype(jnp.float32), grid_h, grid_w)
+        z = V.denormalize_latents(self.vae_cfg, z)
+        img = V.decode(self.vae_params["decoder"], self.vae_cfg, z)
+        img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0.0, 1.0))[0]
+        if output_type == "uint8":
+            img = (img * 255).round().astype(np.uint8)
+        return img, stats
+
     # -- top-level latent-space edit -----------------------------------------
 
     def edit_latents(
@@ -219,10 +336,12 @@ class EditPipelineBase:
         grid_h: int,
         grid_w: int,
         dense_only: bool = False,
+        forced_mask=None,
     ) -> tuple[jnp.ndarray, SampleStats | None]:
         t_txt = ctx.txt.shape[1]
         batch_cache = 2 if self.do_cfg else 1
         sampler = self.sampler_for(grid_h, grid_w, t_txt, batch_cache)
         if dense_only or not getattr(self, "_regione_enabled", True):
             return sampler.sample_dense(latents0, ctx), None
-        return sampler.sample(latents0, ctx.cond_latent, ctx)
+        return sampler.sample(latents0, ctx.cond_latent, ctx,
+                              forced_mask=forced_mask)

@@ -1,0 +1,64 @@
+"""Qwen-Image-Edit (and -2509 "Plus") pipeline adapters.
+
+Reference behavior (RegionE/QwenImageEdit/inplace.py:70-459):
+  * true CFG via TWO sequential tagged forwards with per-tag KV cache pairs
+    k_cache_even/odd (inplace.py:371-399, 731-734, 756-817).  TPU-native
+    equivalent: one batch-2 forward — attention never mixes batch rows and
+    each batch row owns its own cache slice, so the per-tag pairs are
+    exactly the cache's batch dimension.  This also doubles MXU occupancy.
+  * norm-preserving CFG combine: rescale the combined velocity back to the
+    conditional branch's per-token norm (inplace.py:401-405).
+  * joint double-stream blocks only (no single blocks, depth_single=0);
+    joint attention order [text, image].
+  * variable text lengths between cond/uncond handled by padding + additive
+    attention bias (the reference instead runs two differently-shaped
+    passes).
+  * Plus (2509): multi-reference conditioning — each reference image is
+    resized to CONDITION_IMAGE_SIZE (384^2 area) for the vision path and
+    VAE_IMAGE_SIZE (1024^2) for the VAE path, with per-image entries in
+    img_shapes (reference RegionE/QwenImageEditPlus/inplace.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from regione_tpu.pipelines.base import EditPipelineBase
+
+# reference RegionE/QwenImageEditPlus constants
+CONDITION_IMAGE_AREA = 384 * 384
+VAE_IMAGE_AREA = 1024 * 1024
+
+
+def calculate_dimensions(target_area: int, ratio: float, multiple: int = 32
+                         ) -> tuple[int, int]:
+    """Resize to ~target_area preserving aspect, rounded to `multiple`
+    (reference QwenImageEdit calculate_dimensions)."""
+    width = round((target_area * ratio) ** 0.5)
+    height = round(width / ratio)
+    width = max(multiple, round(width / multiple) * multiple)
+    height = max(multiple, round(height / multiple) * multiple)
+    return width, height
+
+
+class QwenImageEditPipeline(EditPipelineBase):
+    backend = "qwen-image-edit"
+    uses_batch_cfg = True
+
+    def __init__(self, model_cfg, params, re_params=None, gamma=None,
+                 true_cfg_scale: float = 4.0):
+        super().__init__(model_cfg, params, re_params, gamma,
+                         true_cfg_scale=true_cfg_scale)
+
+    def combine_cfg(self, v_pos, v_neg, sigma):
+        comb = v_neg + self.true_cfg_scale * (v_pos - v_neg)
+        cond_norm = jnp.linalg.norm(v_pos, axis=-1, keepdims=True)
+        noise_norm = jnp.linalg.norm(comb, axis=-1, keepdims=True)
+        return comb * (cond_norm / jnp.maximum(noise_norm, 1e-12))
+
+    def target_resolution(self, width: int, height: int) -> tuple[int, int]:
+        return calculate_dimensions(VAE_IMAGE_AREA, width / height, 32)
+
+
+class QwenImageEditPlusPipeline(QwenImageEditPipeline):
+    backend = "qwen-image-edit-plus"

@@ -7,7 +7,12 @@ path).  These env vars must be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when a TPU platform plugin is preloaded via the
+# environment (JAX_PLATFORMS may already be set to a hardware backend,
+# so setdefault is not enough).  Disabling the pool-IP variable also keeps
+# the plugin from claiming the real chip during unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
