@@ -20,9 +20,14 @@ vs_baseline is speedup / 2.572 (reference Step1X-Edit headline, README.md:23).
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -38,6 +43,16 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 def main():
     import jax
     import jax.numpy as jnp
+    try:  # persistent compile cache across driver runs
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+    def sync(x):
+        # block_until_ready is unreliable on the axon remote backend; a
+        # concrete scalar readback guarantees device completion
+        return float(jnp.sum(x))
     from regione_tpu.core.config import RegionEParams
     from regione_tpu.models.mmdit import init_mmdit, param_count
     from regione_tpu.models.presets import get_config
@@ -81,26 +96,32 @@ def main():
     ctx = make_ctx(rng.standard_normal((1, s, cfg.in_channels)))
 
     # ---- dense baseline ---------------------------------------------------
+    log("compiling dense baseline...")
+    t0 = time.perf_counter()
     out_dense = pipe.edit_latents(lat0, ctx, GRID, GRID, dense_only=True)[0]
-    jax.block_until_ready(out_dense)
+    sync(out_dense)
+    log(f"dense compile+run {time.perf_counter()-t0:.1f}s")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         out_dense = pipe.edit_latents(lat0, ctx, GRID, GRID, dense_only=True)[0]
-        jax.block_until_ready(out_dense)
+        sync(out_dense)
         times.append(time.perf_counter() - t0)
     t_dense = min(times)
 
     # ---- RegionE ------------------------------------------------------------
+    log("compiling RegionE path...")
+    t0 = time.perf_counter()
     out_re, stats = pipe.edit_latents(lat0, ctx, GRID, GRID,
                                       forced_mask=forced_mask)
-    jax.block_until_ready(out_re)
+    sync(out_re)
+    log(f"regione compile+run {time.perf_counter()-t0:.1f}s")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         out_re, stats = pipe.edit_latents(lat0, ctx, GRID, GRID,
                                           forced_mask=forced_mask)
-        jax.block_until_ready(out_re)
+        sync(out_re)
         times.append(time.perf_counter() - t0)
     t_re = min(times)
 

@@ -69,7 +69,7 @@ def build_pipeline(args):
                               norm_num_groups=16, layers_per_block=1)
         vae_params = init_vae_cached(vae_cfg, args.seed)
         encoder = MockTextEncoder(cfg.txt_in_dim,
-                                  cfg.pooled_dim or None, max_length=64)
+                                  cfg.pooled_dim or None, max_length=128)
 
     pipe = classes[backend](cfg, params, re)
     pipe.attach_vae(vae_cfg, vae_params)

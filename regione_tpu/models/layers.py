@@ -136,8 +136,16 @@ def sdpa(q, k, v, bias=None):
     """Scaled dot-product attention.
 
     q: [B, H, T, d], k/v: [B, H, S, d] -> [B, T, H*d].
-    fp32 softmax for stability; inputs may be bf16.
+    Dispatches to the Pallas TPU flash kernel (regione_tpu.ops) when the
+    backend/shapes allow; falls back to a fused-by-XLA fp32-softmax path.
+    bias: [B, 1, 1, S] additive (key-column mask) or None.
     """
+    from regione_tpu.ops.flash_attention import flash_attention, use_flash
+    if use_flash(q.shape, k.shape):
+        brow = None
+        if bias is not None:
+            brow = bias.reshape(bias.shape[0], bias.shape[-1])
+        return flash_attention(q, k, v, brow)
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
     logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)

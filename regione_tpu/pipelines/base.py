@@ -141,6 +141,12 @@ class EditPipelineBase:
             return self.combine_cfg(v_pos, v_neg, sigma)
         return v
 
+    def _params(self, ctx: EditInputs):
+        """Model params travel inside the ctx pytree (a jit argument) so the
+        weights are NOT captured as compile-time constants — closing over
+        self.params would embed gigabytes into the HLO."""
+        return ctx.extra.get("params", self.params)
+
     def dense_forward(self, lat, sigma, cache, ctx: EditInputs, write: bool):
         """Full-sequence forward: [noise ‖ condition] image stream."""
         s_noise = lat.shape[1]
@@ -153,7 +159,7 @@ class EditPipelineBase:
         b = img_in.shape[0]
         t = jnp.full((b,), sigma, self.cfg.dtype)
         v, cache = mmdit_forward(
-            self.params, self.cfg, img_in, ctx.txt, t,
+            self._params(ctx), self.cfg, img_in, ctx.txt, t,
             ctx.rope_img, ctx.rope_txt,
             pooled=ctx.pooled, guidance=ctx.guidance,
             mode=MODE_WRITE if write else MODE_DENSE, cache=cache,
@@ -176,7 +182,7 @@ class EditPipelineBase:
         ids_cache = jnp.where(ids < s_noise, ids, s_kv)
         rope_act = gather_rope(ctx.rope_img, ids_cache)
         v, cache = mmdit_forward(
-            self.params, self.cfg, img_in, ctx.txt, t,
+            self._params(ctx), self.cfg, img_in, ctx.txt, t,
             rope_act, ctx.rope_txt,
             pooled=ctx.pooled, guidance=ctx.guidance,
             mode=MODE_RAGS, cache=cache, sel_img_ids=ids_cache,
@@ -341,6 +347,9 @@ class EditPipelineBase:
         t_txt = ctx.txt.shape[1]
         batch_cache = 2 if self.do_cfg else 1
         sampler = self.sampler_for(grid_h, grid_w, t_txt, batch_cache)
+        if "params" not in ctx.extra:
+            ctx = dataclasses.replace(
+                ctx, extra={**ctx.extra, "params": self.params})
         if dense_only or not getattr(self, "_regione_enabled", True):
             return sampler.sample_dense(latents0, ctx), None
         return sampler.sample(latents0, ctx.cond_latent, ctx,

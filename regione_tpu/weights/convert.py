@@ -1,0 +1,275 @@
+"""HF checkpoint (torch safetensors) -> RegionE-TPU parameter pytrees.
+
+The reference loads models with diffusers `from_pretrained` (SURVEY.md §5
+checkpoint row).  Here weights are converted once, offline, into this
+framework's stacked-layer functional pytrees:
+
+  * torch Linear [out, in]  ->  {"w": [in, out], "b": [out]} (transposed)
+  * per-layer block tensors ->  stacked on a leading layer axis (the depth
+    runs under lax.scan, models/mmdit.py)
+  * diffusers FluxTransformer2DModel naming (used by Step1X-Edit and
+    FLUX.1 Kontext) is the primary mapping; Qwen-Image uses its own block
+    naming, mapped by `QWEN_ALIASES`.
+
+Key ordering facts encoded here (easy to get silently wrong):
+  * AdaLN norm1.linear emits [shift, scale, gate] x2 — same order as
+    models.mmdit._modulation consumes.
+  * Final AdaLayerNormContinuous emits [scale, shift] (reversed!) — the
+    converter swaps the two column halves so mmdit's (shift, scale) split
+    is correct.
+  * Flux single blocks keep separate to_q/to_k/to_v/proj_mlp in diffusers;
+    we fuse them into linear1 = [q ‖ k ‖ v ‖ mlp] columns.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_torch_state(model_dir: str) -> dict[str, np.ndarray]:
+    """Load all *.safetensors under model_dir into numpy (no torch import
+    needed for the usual case; falls back to torch .bin)."""
+    model_dir = Path(model_dir)
+    state: dict[str, np.ndarray] = {}
+    st_files = sorted(model_dir.glob("*.safetensors"))
+    if st_files:
+        from safetensors import safe_open
+        for f in st_files:
+            with safe_open(str(f), framework="np") as sf:
+                for k in sf.keys():
+                    state[k] = sf.get_tensor(k)
+        return state
+    bins = sorted(model_dir.glob("*.bin"))
+    if bins:
+        import torch
+        for f in bins:
+            sd = torch.load(str(f), map_location="cpu", weights_only=True)
+            for k, v in sd.items():
+                state[k] = v.float().numpy()
+        return state
+    raise FileNotFoundError(f"no safetensors/bin files in {model_dir}")
+
+
+def _lin(state, prefix, dtype=np.float32):
+    w = np.asarray(state[f"{prefix}.weight"], dtype)
+    p = {"w": np.ascontiguousarray(w.T)}
+    bkey = f"{prefix}.bias"
+    p["b"] = (np.asarray(state[bkey], dtype) if bkey in state
+              else np.zeros((w.shape[0],), dtype))
+    return p
+
+
+def _norm_scale(state, key, dtype=np.float32):
+    return {"scale": np.asarray(state[key], dtype)}
+
+
+def _stack(dicts: list[dict]) -> dict:
+    import jax
+    return jax.tree.map(lambda *xs: np.stack(xs, 0), *dicts)
+
+
+def convert_flux_transformer(state: dict[str, np.ndarray], cfg,
+                             dtype=np.float32) -> dict:
+    """diffusers FluxTransformer2DModel / Step1XEdit transformer state dict
+    -> models.mmdit pytree."""
+    g = lambda p: _lin(state, p, dtype)
+
+    def mlp_embed(prefix):
+        return {"in": g(f"{prefix}.linear_1"), "out": g(f"{prefix}.linear_2")}
+
+    params = {
+        "x_embedder": g("x_embedder"),
+        "txt_in": g("context_embedder"),
+        "time_in": mlp_embed("time_text_embed.timestep_embedder"),
+        "final_proj": g("proj_out"),
+    }
+    if cfg.pooled_dim and "time_text_embed.text_embedder.linear_1.weight" in state:
+        params["vector_in"] = mlp_embed("time_text_embed.text_embedder")
+    if cfg.guidance_embed:
+        params["guidance_in"] = mlp_embed("time_text_embed.guidance_embedder")
+
+    # final AdaLayerNormContinuous emits [scale, shift]; swap to [shift, scale]
+    fm = g("norm_out.linear")
+    h = fm["w"].shape[1] // 2
+    params["final_mod"] = {
+        "w": np.concatenate([fm["w"][:, h:], fm["w"][:, :h]], 1),
+        "b": np.concatenate([fm["b"][h:], fm["b"][:h]], 0),
+    }
+
+    doubles = []
+    for i in range(cfg.depth_double):
+        p = f"transformer_blocks.{i}"
+        doubles.append({
+            "img_mod": g(f"{p}.norm1.linear"),
+            "txt_mod": g(f"{p}.norm1_context.linear"),
+            "img_attn": {
+                "q": g(f"{p}.attn.to_q"), "k": g(f"{p}.attn.to_k"),
+                "v": g(f"{p}.attn.to_v"), "out": g(f"{p}.attn.to_out.0"),
+                "norm_q": _norm_scale(state, f"{p}.attn.norm_q.weight", dtype),
+                "norm_k": _norm_scale(state, f"{p}.attn.norm_k.weight", dtype),
+            },
+            "txt_attn": {
+                "q": g(f"{p}.attn.add_q_proj"), "k": g(f"{p}.attn.add_k_proj"),
+                "v": g(f"{p}.attn.add_v_proj"), "out": g(f"{p}.attn.to_add_out"),
+                "norm_q": _norm_scale(state, f"{p}.attn.norm_added_q.weight", dtype),
+                "norm_k": _norm_scale(state, f"{p}.attn.norm_added_k.weight", dtype),
+            },
+            "img_mlp": {"in": g(f"{p}.ff.net.0.proj"), "out": g(f"{p}.ff.net.2")},
+            "txt_mlp": {"in": g(f"{p}.ff_context.net.0.proj"),
+                        "out": g(f"{p}.ff_context.net.2")},
+        })
+    params["double"] = _stack(doubles)
+
+    if cfg.depth_single:
+        singles = []
+        for i in range(cfg.depth_single):
+            p = f"single_transformer_blocks.{i}"
+            q, k, v = (g(f"{p}.attn.to_q"), g(f"{p}.attn.to_k"),
+                       g(f"{p}.attn.to_v"))
+            mlp = g(f"{p}.proj_mlp")
+            singles.append({
+                "mod": g(f"{p}.norm.linear"),
+                "linear1": {
+                    "w": np.concatenate([q["w"], k["w"], v["w"], mlp["w"]], 1),
+                    "b": np.concatenate([q["b"], k["b"], v["b"], mlp["b"]], 0),
+                },
+                "linear2": g(f"{p}.proj_out"),
+                "norm_q": _norm_scale(state, f"{p}.attn.norm_q.weight", dtype),
+                "norm_k": _norm_scale(state, f"{p}.attn.norm_k.weight", dtype),
+            })
+        params["single"] = _stack(singles)
+    return params
+
+
+# Qwen-Image block-tensor aliases -> flux-style names used above.  The Qwen
+# MMDiT (QwenImageTransformer2DModel) is joint-double-stream only; its
+# attention/MLP tensor roles line up one-to-one with the double block.
+QWEN_ALIASES: list[tuple[str, str]] = [
+    (r"\.img_mod\.1", ".norm1.linear"),
+    (r"\.txt_mod\.1", ".norm1_context.linear"),
+    (r"\.img_mlp\.net\.0\.proj", ".ff.net.0.proj"),
+    (r"\.img_mlp\.net\.2", ".ff.net.2"),
+    (r"\.txt_mlp\.net\.0\.proj", ".ff_context.net.0.proj"),
+    (r"\.txt_mlp\.net\.2", ".ff_context.net.2"),
+    (r"time_text_embed\.timestep_embedder", "time_text_embed.timestep_embedder"),
+    (r"^img_in", "x_embedder"),
+    (r"^txt_in", "context_embedder"),
+]
+
+
+def normalize_qwen_keys(state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in state.items():
+        nk = k
+        for pat, rep in QWEN_ALIASES:
+            nk = re.sub(pat, rep, nk)
+        out[nk] = v
+    return out
+
+
+def convert_vae(state: dict[str, np.ndarray], vae_cfg, dtype=np.float32) -> dict:
+    """diffusers AutoencoderKL state dict -> models.vae pytree.
+    torch conv weight [out, in, kh, kw] -> [kh, kw, in, out]."""
+    def conv(prefix):
+        w = np.asarray(state[f"{prefix}.weight"], dtype)
+        return {"w": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+                "b": np.asarray(state[f"{prefix}.bias"], dtype)}
+
+    def gn(prefix):
+        return {"scale": np.asarray(state[f"{prefix}.weight"], dtype),
+                "bias": np.asarray(state[f"{prefix}.bias"], dtype)}
+
+    def resnet(prefix):
+        p = {"norm1": gn(f"{prefix}.norm1"), "conv1": conv(f"{prefix}.conv1"),
+             "norm2": gn(f"{prefix}.norm2"), "conv2": conv(f"{prefix}.conv2")}
+        if f"{prefix}.conv_shortcut.weight" in state:
+            p["shortcut"] = conv(f"{prefix}.conv_shortcut")
+        return p
+
+    def attn(prefix):
+        def lin(sub):
+            w = np.asarray(state[f"{prefix}.{sub}.weight"], dtype)
+            if w.ndim == 4:  # old 1x1-conv style
+                w = w[:, :, 0, 0]
+            return {"w": np.ascontiguousarray(w.T),
+                    "b": np.asarray(state[f"{prefix}.{sub}.bias"], dtype)}
+        return {"norm": gn(f"{prefix}.group_norm"), "q": lin("to_q"),
+                "k": lin("to_k"), "v": lin("to_v"), "out": lin("to_out.0")}
+
+    nlev = len(vae_cfg.block_out_channels)
+    enc = {"conv_in": conv("encoder.conv_in"),
+           "norm_out": gn("encoder.conv_norm_out"),
+           "conv_out": conv("encoder.conv_out"),
+           "mid": {"res1": resnet("encoder.mid_block.resnets.0"),
+                   "attn": attn("encoder.mid_block.attentions.0"),
+                   "res2": resnet("encoder.mid_block.resnets.1")},
+           "down": []}
+    for i in range(nlev):
+        blk = {"resnets": [resnet(f"encoder.down_blocks.{i}.resnets.{j}")
+                           for j in range(vae_cfg.layers_per_block)]}
+        dkey = f"encoder.down_blocks.{i}.downsamplers.0.conv.weight"
+        if dkey in state:
+            blk["downsample"] = conv(f"encoder.down_blocks.{i}.downsamplers.0.conv")
+        enc["down"].append(blk)
+
+    dec = {"conv_in": conv("decoder.conv_in"),
+           "norm_out": gn("decoder.conv_norm_out"),
+           "conv_out": conv("decoder.conv_out"),
+           "mid": {"res1": resnet("decoder.mid_block.resnets.0"),
+                   "attn": attn("decoder.mid_block.attentions.0"),
+                   "res2": resnet("decoder.mid_block.resnets.1")},
+           "up": []}
+    for i in range(nlev):
+        blk = {"resnets": [resnet(f"decoder.up_blocks.{i}.resnets.{j}")
+                           for j in range(vae_cfg.layers_per_block + 1)]}
+        ukey = f"decoder.up_blocks.{i}.upsamplers.0.conv.weight"
+        if ukey in state:
+            blk["upsample"] = conv(f"decoder.up_blocks.{i}.upsamplers.0.conv")
+        dec["up"].append(blk)
+    return {"encoder": enc, "decoder": dec}
+
+
+def load_converted(model_path: str, cfg):
+    """Load a HF-layout checkpoint directory:
+      <model_path>/transformer/*.safetensors
+      <model_path>/vae/*.safetensors
+      <model_path>/text_encoder/  (left to transformers)
+    Returns (dit_params, vae_cfg, vae_params, text_encoder)."""
+    import jax.numpy as jnp
+    from regione_tpu.models.text_encoders import HFTextEncoder, MockTextEncoder
+    from regione_tpu.models.vae import VAEConfig
+
+    root = Path(model_path)
+    state = _load_torch_state(root / "transformer")
+    if any(k.startswith("img_in") or ".img_mod." in k for k in state):
+        state = normalize_qwen_keys(state)
+    params = convert_flux_transformer(state, cfg, np.float32)
+    params = _tree_cast(params, jnp.bfloat16)
+
+    vae_cfg = VAEConfig()
+    vcfg_file = root / "vae" / "config.json"
+    if vcfg_file.exists():
+        c = json.load(open(vcfg_file))
+        vae_cfg = VAEConfig(
+            latent_channels=c.get("latent_channels", 16),
+            block_out_channels=tuple(c.get("block_out_channels", (128, 256, 512, 512))),
+            layers_per_block=c.get("layers_per_block", 2),
+            scaling_factor=c.get("scaling_factor", 0.3611),
+            shift_factor=c.get("shift_factor", 0.1159) or 0.0,
+        )
+    vae_params = convert_vae(_load_torch_state(root / "vae"), vae_cfg)
+
+    te_dir = root / "text_encoder"
+    encoder = (HFTextEncoder(str(te_dir)) if te_dir.exists()
+               else MockTextEncoder(cfg.txt_in_dim, cfg.pooled_dim or None))
+    return params, vae_cfg, vae_params, encoder
+
+
+def _tree_cast(tree, dtype):
+    import jax
+    import jax.numpy as jnp
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype), tree)

@@ -1,0 +1,112 @@
+"""Weight converter tests: build a synthetic diffusers-style state dict,
+convert, and check the resulting pytree runs and matches shapes/values."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from regione_tpu.models.mmdit import init_mmdit, mmdit_forward, MODE_DENSE
+from regione_tpu.models.presets import get_config
+from regione_tpu.weights.convert import convert_flux_transformer
+
+
+def synth_state_from_params(params, cfg):
+    """Inverse mapping: our pytree -> diffusers-style flat torch state dict
+    (numpy).  Exercises every mapping rule in convert_flux_transformer."""
+    state = {}
+
+    def put_lin(prefix, p):
+        state[f"{prefix}.weight"] = np.asarray(p["w"], np.float32).T.copy()
+        state[f"{prefix}.bias"] = np.asarray(p["b"], np.float32).copy()
+
+    put_lin("x_embedder", params["x_embedder"])
+    put_lin("context_embedder", params["txt_in"])
+    put_lin("time_text_embed.timestep_embedder.linear_1", params["time_in"]["in"])
+    put_lin("time_text_embed.timestep_embedder.linear_2", params["time_in"]["out"])
+    if cfg.pooled_dim:
+        put_lin("time_text_embed.text_embedder.linear_1", params["vector_in"]["in"])
+        put_lin("time_text_embed.text_embedder.linear_2", params["vector_in"]["out"])
+    put_lin("proj_out", params["final_proj"])
+    # final_mod is [shift|scale] ours; diffusers emits [scale|shift]
+    fm = params["final_mod"]
+    h = fm["w"].shape[1] // 2
+    state["norm_out.linear.weight"] = np.concatenate(
+        [np.asarray(fm["w"][:, h:]), np.asarray(fm["w"][:, :h])], 1).T.copy()
+    state["norm_out.linear.bias"] = np.concatenate(
+        [np.asarray(fm["b"][h:]), np.asarray(fm["b"][:h])], 0)
+
+    def layer(tree, i):
+        return jax.tree.map(lambda x: np.asarray(x[i], np.float32), tree)
+
+    for i in range(cfg.depth_double):
+        d = layer(params["double"], i)
+        p = f"transformer_blocks.{i}"
+        put_lin(f"{p}.norm1.linear", d["img_mod"])
+        put_lin(f"{p}.norm1_context.linear", d["txt_mod"])
+        put_lin(f"{p}.attn.to_q", d["img_attn"]["q"])
+        put_lin(f"{p}.attn.to_k", d["img_attn"]["k"])
+        put_lin(f"{p}.attn.to_v", d["img_attn"]["v"])
+        put_lin(f"{p}.attn.to_out.0", d["img_attn"]["out"])
+        put_lin(f"{p}.attn.add_q_proj", d["txt_attn"]["q"])
+        put_lin(f"{p}.attn.add_k_proj", d["txt_attn"]["k"])
+        put_lin(f"{p}.attn.add_v_proj", d["txt_attn"]["v"])
+        put_lin(f"{p}.attn.to_add_out", d["txt_attn"]["out"])
+        state[f"{p}.attn.norm_q.weight"] = d["img_attn"]["norm_q"]["scale"]
+        state[f"{p}.attn.norm_k.weight"] = d["img_attn"]["norm_k"]["scale"]
+        state[f"{p}.attn.norm_added_q.weight"] = d["txt_attn"]["norm_q"]["scale"]
+        state[f"{p}.attn.norm_added_k.weight"] = d["txt_attn"]["norm_k"]["scale"]
+        put_lin(f"{p}.ff.net.0.proj", d["img_mlp"]["in"])
+        put_lin(f"{p}.ff.net.2", d["img_mlp"]["out"])
+        put_lin(f"{p}.ff_context.net.0.proj", d["txt_mlp"]["in"])
+        put_lin(f"{p}.ff_context.net.2", d["txt_mlp"]["out"])
+
+    inner = cfg.inner
+    for i in range(cfg.depth_single):
+        s = layer(params["single"], i)
+        p = f"single_transformer_blocks.{i}"
+        put_lin(f"{p}.norm.linear", s["mod"])
+        w1, b1 = s["linear1"]["w"], s["linear1"]["b"]
+        put_lin(f"{p}.attn.to_q", {"w": w1[:, :inner], "b": b1[:inner]})
+        put_lin(f"{p}.attn.to_k", {"w": w1[:, inner:2 * inner],
+                                   "b": b1[inner:2 * inner]})
+        put_lin(f"{p}.attn.to_v", {"w": w1[:, 2 * inner:3 * inner],
+                                   "b": b1[2 * inner:3 * inner]})
+        put_lin(f"{p}.proj_mlp", {"w": w1[:, 3 * inner:], "b": b1[3 * inner:]})
+        put_lin(f"{p}.proj_out", s["linear2"])
+        state[f"{p}.attn.norm_q.weight"] = s["norm_q"]["scale"]
+        state[f"{p}.attn.norm_k.weight"] = s["norm_k"]["scale"]
+    return state
+
+
+def test_flux_converter_roundtrip():
+    cfg = get_config("tiny")
+    params = init_mmdit(jax.random.PRNGKey(0), cfg)
+    state = synth_state_from_params(params, cfg)
+    back = convert_flux_transformer(state, cfg)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    paths_a = {tuple(str(k) for k in p) for p, _ in flat_a}
+    paths_b = {tuple(str(k) for k in p) for p, _ in flat_b}
+    assert paths_a == paths_b
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=lambda t: str(t[0])),
+                                  sorted(flat_b, key=lambda t: str(t[0]))):
+        np.testing.assert_allclose(np.asarray(va, np.float32), vb,
+                                   rtol=1e-6, atol=1e-6, err_msg=str(pa))
+
+    # and the converted tree actually runs
+    rng = np.random.default_rng(0)
+    from regione_tpu.pipelines.base import EditPipelineBase
+    from regione_tpu.core.config import RegionEParams
+    from regione_tpu.core.gamma import gamma_for
+    pipe = EditPipelineBase(cfg, jax.tree.map(jnp.asarray, back),
+                            RegionEParams(), gamma=gamma_for("step1x-edit"))
+    rope_img, rope_txt = pipe.build_rope(4, 4, 4)
+    v, _ = mmdit_forward(
+        jax.tree.map(jnp.asarray, back), cfg,
+        jnp.asarray(rng.standard_normal((1, 32, cfg.in_channels)), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, 4, cfg.txt_in_dim)), jnp.float32),
+        jnp.full((1,), 0.5), rope_img, rope_txt,
+        pooled=jnp.asarray(rng.standard_normal((1, cfg.pooled_dim)), jnp.float32),
+        mode=MODE_DENSE)
+    assert v.shape == (1, 32, cfg.out_channels)

@@ -1,0 +1,164 @@
+"""Evaluation-harness tests: metrics vs naive oracles, CSV/merge schema,
+VIEScore plumbing, thinker loop."""
+
+import csv
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from regione_tpu.eval import merge, metrics, viescore
+
+
+def test_psnr_oracle():
+    a = np.zeros((8, 8, 3), np.uint8)
+    b = a.copy()
+    b[0, 0, 0] = 10
+    mse = 100 / (8 * 8 * 3)
+    assert metrics.psnr(a, b) == pytest.approx(10 * math.log10(255 ** 2 / mse))
+    assert metrics.psnr(a, a) == float("inf")
+
+
+def test_ssim_identity_and_range():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    assert metrics.ssim(a, a) == pytest.approx(1.0)
+    noisy = np.clip(a.astype(int) + rng.integers(-60, 60, a.shape), 0, 255
+                    ).astype(np.uint8)
+    s = metrics.ssim(a, noisy)
+    assert 0.0 < s < 0.95
+
+
+def test_ssim_against_naive_window_oracle():
+    """Direct sliding-window SSIM (no filters) on a tiny grayscale image."""
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, (16, 16)).astype(np.float64)
+    b = np.clip(a + rng.integers(-30, 30, a.shape), 0, 255).astype(np.float64)
+    win, dr = 7, 255.0
+    c1, c2 = (0.01 * dr) ** 2, (0.03 * dr) ** 2
+    vals = []
+    n = win * win
+    for i in range(16 - win + 1):
+        for j in range(16 - win + 1):
+            x = a[i:i + win, j:j + win].ravel()
+            y = b[i:i + win, j:j + win].ravel()
+            ux, uy = x.mean(), y.mean()
+            vx, vy = x.var(ddof=1), y.var(ddof=1)
+            vxy = ((x - ux) * (y - uy)).sum() / (n - 1)
+            vals.append(((2 * ux * uy + c1) * (2 * vxy + c2)) /
+                        ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
+    want = float(np.mean(vals))
+    got = metrics.ssim(a, b)
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_metric_csv_and_merge(tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(2)
+    for task in ("TE", "CR"):
+        for root in ("vanilla", "regione"):
+            d = tmp_path / root / task / "generation"
+            d.mkdir(parents=True)
+            for k in range(2):
+                img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+                Image.fromarray(img).save(d / f"img_{k}.png")
+                jitter = np.clip(img.astype(int) + (5 if root == "regione" else 0),
+                                 0, 255).astype(np.uint8)
+                Image.fromarray(jitter).save(d / f"img_{k}.png")
+        json.dump({"num_item": 2, "ave": 1.5, "list": [1.4, 1.6]},
+                  open(tmp_path / "regione" / task / "time_consuming.json", "w"))
+
+    res = metrics.run_all_tasks(str(tmp_path / "vanilla"),
+                                str(tmp_path / "regione"),
+                                with_lpips=False)
+    assert set(res) == {"TE", "CR"}
+    rows = list(csv.reader(open(tmp_path / "regione" / "TE" / "metric.csv")))
+    assert rows[0] == ["file", "psnr", "ssim", "lpips"]
+    assert rows[-1][0] == "AVERAGE"
+
+    text = merge.merge_direction(str(tmp_path / "regione"))
+    assert "PSNR:" in text and "Latency: 1.5000" in text and "Prompts: 4" in text
+
+
+def test_viescore_parse_and_dryrun():
+    assert viescore.parse_scores('{"score": [7, 8.5], "reasoning": "x"}') == [7.0, 8.5]
+    assert viescore.parse_scores("scores: 6 and 7") == [6.0, 7.0]
+    assert viescore.parse_scores("no numbers here") == []
+    s = viescore.VIEScore(viescore.DryRunBackbone())
+    img = np.zeros((8, 8, 3), np.uint8)
+    r = s.evaluate([img, img], "make it red")
+    assert 0 <= r["o"] <= 10
+    assert r["o"] == pytest.approx(math.sqrt(r["sc"] * r["pq"]))
+
+
+def test_viescore_task_runner_and_stats(tmp_path):
+    from PIL import Image
+    task = tmp_path / "task"
+    (task / "img").mkdir(parents=True)
+    gen = tmp_path / "gen"
+    gen.mkdir()
+    with open(task / "metadata.jsonl", "w") as fh:
+        for k in range(3):
+            img = np.full((8, 8, 3), k * 40, np.uint8)
+            Image.fromarray(img).save(task / "img" / f"k{k}.png")
+            Image.fromarray(img).save(gen / f"k{k}.png")
+            fh.write(json.dumps({"key": f"k{k}", "image": f"k{k}.png",
+                                 "prompt": f"edit {k}"}) + "\n")
+    scorer = viescore.VIEScore(viescore.DryRunBackbone())
+    out_csv = tmp_path / "task_scores" / "vie_score.csv"
+    rows = viescore.run_task(scorer, str(task), str(gen), str(out_csv))
+    assert len(rows) == 3
+    # resume: second call reads the csv instead of rescoring
+    rows2 = viescore.run_task(scorer, str(task), str(gen), str(out_csv))
+    assert len(rows2) == 3
+    stats = viescore.analyze_scores([str(out_csv)])
+    assert stats["n"] == 3 and "o" in stats["overall"]
+
+
+def test_retry_backoff():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("boom")
+        return "ok"
+
+    assert viescore.process_with_retry(flaky, backoff=0.0) == "ok"
+    assert len(calls) == 3
+
+
+def test_thinker_reflection_loop():
+    from regione_tpu.pipelines.thinker import (
+        EchoThinker, VLMThinker, edit_with_reflection)
+
+    outs = []
+
+    def fake_pipeline(image, prompt, seed=0, output_type="uint8"):
+        outs.append(prompt)
+        return np.zeros((4, 4, 3), np.uint8), None
+
+    img, info = edit_with_reflection(fake_pipeline, np.zeros((4, 4, 3)),
+                                     "add a hat", thinker=EchoThinker())
+    assert info["reformat_prompt"] == "add a hat"
+    assert len(info["images"]) == 1  # accepted first try
+
+    # failing-then-succeeding VLM
+    replies = iter([
+        "rewritten: add a red hat",
+        '{"score": [3, 4]} <#Failure> <#Prompt> add a LARGE red hat',
+        '{"score": [8, 9]} <#Success>',
+    ])
+
+    def vlm(images, text):
+        return next(replies)
+
+    outs.clear()
+    img, info = edit_with_reflection(
+        fake_pipeline, np.zeros((4, 4, 3)), "add a hat",
+        thinker=VLMThinker(vlm), max_try_cnt=3)
+    assert len(info["images"]) == 2
+    assert outs[1] == "add a LARGE red hat"
+    assert info["best_info"]["success"]

@@ -1,0 +1,54 @@
+"""Pallas flash attention vs XLA sdpa equivalence (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from regione_tpu.models.layers import sdpa
+from regione_tpu.ops.flash_attention import flash_attention
+
+
+def rand(shape, seed, dtype=jnp.float32):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape), dtype)
+
+
+@pytest.mark.parametrize("t,s", [(128, 256), (8, 384)])
+def test_flash_matches_sdpa(t, s):
+    b, h, d = 2, 2, 128
+    q = rand((b, h, t, d), 0)
+    k = rand((b, h, s, d), 1)
+    v = rand((b, h, s, d), 2)
+    want = np.asarray(sdpa(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                     interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_with_bias_masks_columns():
+    b, h, t, s, d = 1, 2, 8, 256, 128
+    q = rand((b, h, t, d), 3)
+    k = rand((b, h, s, d), 4)
+    v = rand((b, h, s, d), 5)
+    bias = np.zeros((b, s), np.float32)
+    bias[:, 200:] = -1e9  # mask tail keys
+    want = np.asarray(sdpa(q, k, v, bias=jnp.asarray(bias)[:, None, None, :]))
+    got = np.asarray(flash_attention(q, k, v, bias=jnp.asarray(bias),
+                                     block_q=8, block_k=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # masked keys truly have no influence
+    v2 = v.at[:, :, 200:, :].set(999.0)
+    got2 = np.asarray(flash_attention(q, k, v2, bias=jnp.asarray(bias),
+                                      block_q=8, block_k=128, interpret=True))
+    np.testing.assert_allclose(got2, got, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bf16():
+    b, h, t, s, d = 1, 2, 128, 512, 128
+    q = rand((b, h, t, d), 6, jnp.bfloat16)
+    k = rand((b, h, s, d), 7, jnp.bfloat16)
+    v = rand((b, h, s, d), 8, jnp.bfloat16)
+    want = np.asarray(sdpa(q, k, v), np.float32)
+    got = np.asarray(flash_attention(q, k, v, interpret=True), np.float32)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
