@@ -50,7 +50,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale       # [BQ, BK]
     if bias_ref is not None:
-        logits = logits + bias_ref[0][None, :].astype(jnp.float32)
+        logits = logits + bias_ref[0].astype(jnp.float32)  # [1, BK] bcast
 
     m_prev = m_ref[:]                                     # [BQ, 1]
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
@@ -100,9 +100,12 @@ def flash_attention(q, k, v, bias=None, block_q: int = 256, block_k: int = 512,
     ]
     args = [qf, kf, vf]
     if bias is not None:
+        # [B, S] -> [B*H, 1, S]; block (1, 1, bk) keeps the trailing-two
+        # block dims (1, bk) equal-or-tile-aligned to the array dims (TPU
+        # lowering requires dim -2 of a block be 8-divisible or full).
         bias_f = jnp.broadcast_to(bias.reshape(b, 1, s), (b, h, s)
-                                  ).reshape(b * h, s)
-        in_specs.append(pl.BlockSpec((1, bk), lambda g, i, j: (g, j)))
+                                  ).reshape(b * h, 1, s)
+        in_specs.append(pl.BlockSpec((1, 1, bk), lambda g, i, j: (g, 0, j)))
         args.append(bias_f)
         kernel = functools.partial(_flash_kernel, scale=scale, n_kv=n_kv)
     else:
@@ -130,8 +133,12 @@ def flash_attention(q, k, v, bias=None, block_q: int = 256, block_k: int = 512,
 
 
 def use_flash(q_shape, k_shape) -> bool:
-    """Dispatch policy: on TPU, head_dim lane-aligned and sequences tileable."""
-    if os.environ.get("REGIONE_TPU_FLASH", "1") == "0":
+    """Dispatch policy: on TPU, head_dim lane-aligned and sequences tileable.
+
+    Default OFF: measured on v5e, XLA's fused attention beats this kernel at
+    RegionE's shapes (bench r1: dense 25.4s XLA vs 42.4s flash) — opt in
+    with REGIONE_TPU_FLASH=1 while the kernel is being tuned."""
+    if os.environ.get("REGIONE_TPU_FLASH", "0") != "1":
         return False
     try:
         platform = jax.default_backend()

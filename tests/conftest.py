@@ -23,3 +23,14 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# A sitecustomize may have imported jax already (hardware platform plugin),
+# in which case the env var above was captured too late — override the
+# config directly; backends are initialized lazily so this still wins as
+# long as no jax computation ran yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU (8 virtual devices), got "
+    f"{jax.default_backend()}")
