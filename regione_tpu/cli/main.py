@@ -136,6 +136,7 @@ def run_evaluation(pipe, args):
                              if not os.path.isabs(item["image"]) else item["image"])
             t0 = time.perf_counter()
             out, _ = pipe(img, item["prompt"], seed=args.seed,
+                          width=args.size_level, height=args.size_level,
                           output_type="uint8")
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)

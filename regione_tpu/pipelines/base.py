@@ -177,8 +177,8 @@ class EditPipelineBase:
         # cache).  Remap invalid slots past the end of every cache (the
         # single-block cache adds t_txt, so s_kv + t_txt stays OOB too) so
         # padded K/V writes are dropped, never corrupting condition rows.
-        s_noise = ctx.cond_latent.shape[1]
-        s_kv = 2 * s_noise
+        s_noise = ctx.extra.get("s_noise", ctx.cond_latent.shape[1])
+        s_kv = s_noise + ctx.cond_latent.shape[1]
         ids_cache = jnp.where(ids < s_noise, ids, s_kv)
         rope_act = gather_rope(ctx.rope_img, ids_cache)
         v, cache = mmdit_forward(
@@ -191,17 +191,19 @@ class EditPipelineBase:
 
     # -- sampler construction ------------------------------------------------
 
-    def sampler_for(self, grid_h: int, grid_w: int, t_txt: int, batch_cache: int
+    def sampler_for(self, grid_h: int, grid_w: int, t_txt: int,
+                    batch_cache: int, s_cond: int | None = None
                     ) -> RegionESampler:
-        key = (grid_h, grid_w, t_txt, batch_cache)
+        s_noise = grid_h * grid_w
+        s_cond = s_noise if s_cond is None else s_cond
+        key = (grid_h, grid_w, t_txt, batch_cache, s_cond)
         if key in self._samplers:
             return self._samplers[key]
-        s_noise = grid_h * grid_w
         steps = self.re.num_inference_steps
         mu = calculate_shift(s_noise)
         sigmas = build_sigmas(steps, mu=mu)
         plan = build_stage_plan(self.re, sigmas, self.gamma)
-        s_kv = 2 * s_noise  # noise + condition rows
+        s_kv = s_noise + s_cond  # noise + condition rows
 
         def make_cache():
             return init_cache(self.cfg, batch_cache, s_kv, t_txt)
@@ -227,14 +229,22 @@ class EditPipelineBase:
         self.text_encoder = encoder
         return self
 
+    @property
+    def token_factor(self) -> int:
+        """Pixels per latent token edge: VAE spatial factor x patch 2."""
+        vc = getattr(self, "vae_cfg", None)
+        return (vc.spatial_factor * 2) if vc is not None else 16
+
     def target_resolution(self, width: int, height: int) -> tuple[int, int]:
-        """Default: scale to ~1024^2 area, multiples of 16 (patch 2 x vae 8).
-        Backends override (Kontext preferred-resolution snap, Qwen /32)."""
+        """Default: scale to ~1024^2 area, multiples of the token factor
+        (patch 2 x vae 8 = 16 for the production VAEs).  Backends override
+        (Kontext preferred-resolution snap, Qwen /32)."""
         area = 1024 * 1024
         ratio = width / height
-        w = int(round((area * ratio) ** 0.5 / 16) * 16)
-        h = int(round((w / ratio) / 16) * 16)
-        return max(16, w), max(16, h)
+        f = self.token_factor
+        w = int(round((area * ratio) ** 0.5 / f) * f)
+        h = int(round((w / ratio) / f) * f)
+        return max(f, w), max(f, h)
 
     def _to_array(self, image) -> np.ndarray:
         """PIL / uint8 / float image -> float32 [H, W, 3] in [-1, 1]."""
@@ -270,8 +280,12 @@ class EditPipelineBase:
         """Encode image + prompts, build rope tables and the ctx pytree."""
         arr = np.asarray(image)
         h0, w0 = arr.shape[:2]
-        width, height = self.target_resolution(width or w0, height or h0)
-        grid_h, grid_w = height // 16, width // 16
+        f = self.token_factor
+        if width is None or height is None:
+            # no explicit size: backend policy (area normalize / snap list)
+            width, height = self.target_resolution(width or w0, height or h0)
+        width, height = max(f, (width // f) * f), max(f, (height // f) * f)
+        grid_h, grid_w = height // f, width // f
 
         cond = self.encode_image(image, width, height)
         emb_p, pooled_p, mask_p = self.text_encoder.encode(prompt)
@@ -346,11 +360,14 @@ class EditPipelineBase:
     ) -> tuple[jnp.ndarray, SampleStats | None]:
         t_txt = ctx.txt.shape[1]
         batch_cache = 2 if self.do_cfg else 1
-        sampler = self.sampler_for(grid_h, grid_w, t_txt, batch_cache)
-        if "params" not in ctx.extra:
-            ctx = dataclasses.replace(
-                ctx, extra={**ctx.extra, "params": self.params})
+        sampler = self.sampler_for(grid_h, grid_w, t_txt, batch_cache,
+                                   s_cond=ctx.cond_latent.shape[1])
+        extra = dict(ctx.extra)
+        extra.setdefault("params", self.params)
+        extra.setdefault("s_noise", latents0.shape[1])
+        ctx = dataclasses.replace(ctx, extra=extra)
         if dense_only or not getattr(self, "_regione_enabled", True):
             return sampler.sample_dense(latents0, ctx), None
-        return sampler.sample(latents0, ctx.cond_latent, ctx,
+        s_noise = latents0.shape[1]
+        return sampler.sample(latents0, ctx.cond_latent[:, :s_noise], ctx,
                               forced_mask=forced_mask)

@@ -1,0 +1,79 @@
+"""CLI driver end-to-end smoke tests (tiny dev config, mock weights)."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def tiny_cli(monkeypatch):
+    """Patch the CLI's preset resolution to the tiny config + tiny VAE so
+    the smoke test runs in seconds."""
+    from regione_tpu.cli import main as cli
+    from regione_tpu.models import vae as V
+
+    orig_build = cli.build_pipeline
+
+    def build(args):
+        from regione_tpu.core.config import DEFAULT_PARAMS
+        from regione_tpu.models.mmdit import init_mmdit
+        from regione_tpu.models.presets import get_config
+        from regione_tpu.models.text_encoders import MockTextEncoder
+        from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
+        import jax
+        cfg = get_config("tiny")
+        re = DEFAULT_PARAMS["step1x-edit"].replace(
+            threshold=args.threshold, cache_threshold=args.cache_threshold,
+            erosion_dilation=args.erosion_dilation,
+            capacity_granularity=8).validate()
+        params = init_mmdit(jax.random.PRNGKey(0), cfg)
+        vae_cfg = V.VAEConfig(block_out_channels=(8, 16), latent_channels=2,
+                              norm_num_groups=4, layers_per_block=1)
+        pipe = Step1XEditPipeline(cfg, params, re)
+        pipe.attach_vae(vae_cfg, V.init_vae(jax.random.PRNGKey(1), vae_cfg))
+        pipe.attach_text_encoder(MockTextEncoder(cfg.txt_in_dim,
+                                                 cfg.pooled_dim, max_length=8))
+        pipe._regione_enabled = args.use_regione
+        return pipe
+
+    monkeypatch.setattr(cli, "build_pipeline", build)
+    return cli
+
+
+def test_cli_demo_mode(tiny_cli, tmp_path):
+    from PIL import Image
+    img = (np.random.default_rng(0).random((32, 32, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "in.png")
+    tiny_cli.main([
+        "--use_regione", "--threshold", "0.0", "--erosion_dilation", "False",
+        "--image_path", str(tmp_path / "in.png"), "--prompt", "test edit",
+        "--output_dir", str(tmp_path / "out"), "--size_level", "32",
+    ])
+    assert (tmp_path / "out" / "demo_0.png").exists()
+
+
+def test_cli_evaluation_mode(tiny_cli, tmp_path):
+    from PIL import Image
+    task = tmp_path / "bench" / "TE"
+    (task / "img").mkdir(parents=True)
+    with open(task / "metadata.jsonl", "w") as fh:
+        for k in range(2):
+            img = (np.random.default_rng(k).random((32, 32, 3)) * 255
+                   ).astype(np.uint8)
+            Image.fromarray(img).save(task / "img" / f"k{k}.png")
+            fh.write(json.dumps({"key": f"k{k}", "image": f"k{k}.png",
+                                 "prompt": f"edit {k}"}) + "\n")
+    tiny_cli.main([
+        "--use_regione", "--threshold", "0.0", "--erosion_dilation", "False",
+        "--evaluation", "--eval_dir", str(tmp_path / "bench"),
+        "--output_dir", str(tmp_path / "res"), "--size_level", "32",
+    ])
+    out_task = tmp_path / "res" / "TE"
+    assert (out_task / "generation" / "k0.png").exists()
+    timing = json.load(open(out_task / "time_consuming.json"))
+    assert timing["num_item"] == 2 and len(timing["list"]) == 2
+    meta = json.load(open(out_task / "metadata.json"))
+    assert meta["k1"] == "edit 1"

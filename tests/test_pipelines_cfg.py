@@ -1,0 +1,132 @@
+"""Backend-specific CFG paths vs the reference-style oracle:
+Step1X norm-processed batch CFG, Qwen joint-attention norm-preserving CFG
+(batched tag pairs), and the image-level pipeline smoke test."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from regione_tpu.core.config import RegionEParams
+from regione_tpu.core.gamma import gamma_for
+from regione_tpu.models.mmdit import init_mmdit
+from regione_tpu.models.presets import get_config
+from regione_tpu.pipelines.base import EditInputs
+from regione_tpu.pipelines.qwen_image_edit import QwenImageEditPipeline
+from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
+from tests.oracle import oracle_edit
+
+GRID = 8
+S = GRID * GRID
+T_TXT = 4
+
+
+def make_inputs(cfg, pipe, seed=1, batch_txt=1):
+    rng = np.random.default_rng(seed)
+    txt = rng.standard_normal((1, T_TXT, cfg.txt_in_dim)).astype(np.float32)
+    neg = rng.standard_normal((1, T_TXT, cfg.txt_in_dim)).astype(np.float32)
+    pooled = (rng.standard_normal((1, cfg.pooled_dim)).astype(np.float32)
+              if cfg.pooled_dim else None)
+    cond = rng.standard_normal((1, S, cfg.in_channels)).astype(np.float32) * 0.5
+    lat0 = rng.standard_normal((1, S, cfg.in_channels)).astype(np.float32)
+    rope_img, rope_txt = pipe.build_rope(GRID, GRID, T_TXT)
+    txt_stack = np.concatenate([txt, neg], 0) if batch_txt == 2 else txt
+    pooled_stack = (np.concatenate([pooled, pooled], 0)
+                    if (pooled is not None and batch_txt == 2) else pooled)
+    ctx = EditInputs(
+        txt=jnp.asarray(txt_stack), cond_latent=jnp.asarray(cond),
+        rope_img=rope_img, rope_txt=rope_txt,
+        pooled=jnp.asarray(pooled_stack) if pooled_stack is not None else None,
+    )
+    return ctx, lat0, txt, neg, pooled, cond
+
+
+def test_step1x_norm_processed_cfg_matches_oracle():
+    cfg = get_config("tiny")
+    params = init_mmdit(jax.random.PRNGKey(7), cfg)
+    re = RegionEParams(threshold=0.0, erosion_dilation=False,
+                       cache_threshold=0.05, capacity_granularity=8)
+    pipe = Step1XEditPipeline(cfg, params, re, true_cfg_scale=4.0)
+    assert pipe.do_cfg
+    ctx, lat0, txt, neg, pooled, cond = make_inputs(cfg, pipe, batch_txt=2)
+
+    got, stats = pipe.edit_latents(jnp.asarray(lat0), ctx, GRID, GRID)
+
+    # independent transcription of the reference combine
+    # (inplace.py:401-410 + public process_diff_norm)
+    def combine(v_pos, v_neg, sigma):
+        diff = v_pos - v_neg
+        if sigma * 1000.0 > 0.93:
+            n = np.linalg.norm(diff, axis=-1, keepdims=True)
+            pd = np.where(n > 1.0, n ** 0.4, 1.0)
+            return v_neg + 4.0 * diff / pd
+        return v_neg + 4.0 * diff
+
+    want, edited = oracle_edit(
+        params, cfg, re, gamma_for("step1x-edit"), lat0, cond, txt,
+        GRID, GRID, pooled=pooled, cfg_combine=combine, neg_txt=neg,
+        cfg_scale=4.0)
+    assert 0 < stats.edited_tokens < S
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+
+def test_qwen_norm_preserving_cfg_matches_oracle():
+    cfg = get_config("tiny-qwen")
+    params = init_mmdit(jax.random.PRNGKey(8), cfg)
+    re = RegionEParams(threshold=0.0, erosion_dilation=False,
+                       cache_threshold=0.05, capacity_granularity=8)
+    pipe = QwenImageEditPipeline(cfg, params, re, true_cfg_scale=4.0)
+    ctx, lat0, txt, neg, pooled, cond = make_inputs(cfg, pipe, batch_txt=2)
+
+    got, stats = pipe.edit_latents(jnp.asarray(lat0), ctx, GRID, GRID)
+
+    def combine(v_pos, v_neg, sigma):
+        comb = v_neg + 4.0 * (v_pos - v_neg)
+        cn = np.linalg.norm(v_pos, axis=-1, keepdims=True)
+        nn = np.linalg.norm(comb, axis=-1, keepdims=True)
+        return comb * (cn / np.maximum(nn, 1e-12))
+
+    want, _ = oracle_edit(
+        params, cfg, re, gamma_for("qwen-image-edit"), lat0, cond, txt,
+        GRID, GRID, pooled=None, cfg_combine=combine, neg_txt=neg,
+        cfg_scale=4.0)
+    assert 0 < stats.edited_tokens < S
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+
+def test_image_level_pipeline_smoke():
+    """Full __call__: VAE encode -> accelerated denoise -> VAE decode,
+    plus RegionEHelper enable/disable switching paths."""
+    from regione_tpu.api import RegionEHelper
+    from regione_tpu.models import vae as V
+    from regione_tpu.models.text_encoders import MockTextEncoder
+
+    cfg = get_config("tiny")
+    params = init_mmdit(jax.random.PRNGKey(0), cfg)
+    # tiny VAE with /2 spatial (one downsample); latent 2x2-packed to
+    # in_channels -> latent_channels = in_channels/4 = 2
+    vae_cfg = V.VAEConfig(block_out_channels=(8, 16), latent_channels=2,
+                          norm_num_groups=4, layers_per_block=1)
+    vae_params = V.init_vae(jax.random.PRNGKey(1), vae_cfg)
+
+    pipe = Step1XEditPipeline(cfg, params, RegionEParams(
+        threshold=0.0, erosion_dilation=False, capacity_granularity=8))
+    pipe.attach_vae(vae_cfg, vae_params)
+    pipe.attach_text_encoder(MockTextEncoder(cfg.txt_in_dim, cfg.pooled_dim,
+                                             max_length=8))
+
+    helper = RegionEHelper(pipe)
+    helper.set_params(threshold=0.0, erosion_dilation=False)
+    img = (np.random.default_rng(0).random((40, 52, 3)) * 255).astype(np.uint8)
+
+    # target_resolution: /16 multiples; vae /2 + pack /2 -> grid = size/4... use
+    # explicit size that the tiny VAE maps onto a clean token grid
+    helper.enable()
+    out, stats = pipe(img, "make it blue", width=64, height=64, seed=3)
+    assert out.shape[2] == 3 and out.min() >= 0.0 and out.max() <= 1.0
+    assert stats is not None and stats.seq_len > 0
+
+    helper.disable()
+    out2, stats2 = pipe(img, "make it blue", width=64, height=64, seed=3)
+    assert stats2 is None
+    assert out2.shape == out.shape
