@@ -52,3 +52,26 @@ def test_flash_bf16():
     want = np.asarray(sdpa(q, k, v), np.float32)
     got = np.asarray(flash_attention(q, k, v, interpret=True), np.float32)
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_online_softmax_fallback_path():
+    # large block_q * S exceeds the resident-logits budget -> flash fallback
+    b, h, t, s, d = 1, 1, 1024, 2048, 128
+    q = rand((b, h, t, d), 9)
+    k = rand((b, h, s, d), 10)
+    v = rand((b, h, s, d), 11)
+    want = np.asarray(sdpa(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, block_q=1024, block_k=512,
+                                     interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_unaligned_seq_padding():
+    # T and S not tile multiples: wrapper pads + masks
+    b, h, t, s, d = 1, 2, 37, 300, 128
+    q = rand((b, h, t, d), 12)
+    k = rand((b, h, s, d), 13)
+    v = rand((b, h, s, d), 14)
+    want = np.asarray(sdpa(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
