@@ -54,7 +54,7 @@ def main():
         # concrete scalar readback guarantees device completion
         return float(jnp.sum(x))
     from regione_tpu.core.config import RegionEParams
-    from regione_tpu.models.mmdit import init_mmdit, param_count
+    from regione_tpu.models.mmdit import init_mmdit_jit as init_mmdit, param_count
     from regione_tpu.models.presets import get_config
     from regione_tpu.pipelines.base import EditInputs
     from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline

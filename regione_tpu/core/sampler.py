@@ -60,6 +60,8 @@ class SampleStats:
     reuse_steps: int
     dense_steps: int
     rags_steps: int
+    sts_s: float = 0.0    # wall time of the STS+partition segment (timed=True)
+    rest_s: float = 0.0   # wall time of the RAGS/refresh/SMS segment
 
 
 class RegionESampler:
@@ -92,20 +94,29 @@ class RegionESampler:
     # ------------------------------------------------------------------
 
     def sample(self, latents0: jnp.ndarray, cond_latent: jnp.ndarray, ctx,
-               forced_mask: jnp.ndarray | None = None,
+               forced_mask: jnp.ndarray | None = None, timed: bool = False,
                ) -> tuple[jnp.ndarray, SampleStats]:
         """Run the full accelerated denoise.  latents0/cond_latent:
         [B, S_noise, C].  `forced_mask` overrides the adaptive partition
-        with a fixed edited mask (controlled benchmarking / ablations).
+        with a fixed edited mask (controlled benchmarking / ablations);
+        `timed` records per-segment wall time (adds one device sync).
         Returns (final latents f32, stats)."""
+        import time as _time
         s_noise = latents0.shape[1]
+        t0 = _time.perf_counter()
         lat, mask, cache = self._sts_jit(latents0, cond_latent, ctx, forced_mask)
-        n_edit = int(jax.device_get(jnp.sum(mask)))
+        n_edit = int(jax.device_get(jnp.sum(mask)))  # the one host sync
+        sts_s = _time.perf_counter() - t0
         cap = self.re.rags_capacity or pick_capacity(
             n_edit, s_noise, self.re.capacity_granularity)
         ids = jnp.asarray(
             masking.mask_to_padded_ids(np.asarray(jax.device_get(mask)), cap))
+        t1 = _time.perf_counter()
         lat = self._rest_jit(lat, ids, mask, cache, ctx)
+        rest_s = 0.0
+        if timed:
+            float(jnp.sum(lat))  # completion barrier (block_until_ready can
+            rest_s = _time.perf_counter() - t1  # return early on remote TPU)
         stats = SampleStats(
             edited_tokens=n_edit,
             capacity=cap,
@@ -113,6 +124,8 @@ class RegionESampler:
             reuse_steps=sum(sp.reuse for sp in self.plan),
             dense_steps=sum(sp.dense for sp in self.plan),
             rags_steps=sum(not sp.dense for sp in self.plan),
+            sts_s=sts_s if timed else 0.0,
+            rest_s=rest_s,
         )
         return lat, stats
 

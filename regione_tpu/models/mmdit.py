@@ -404,3 +404,8 @@ def init_mmdit(key: jax.Array, cfg: MMDiTConfig):
 
 def param_count(params) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+# One fused device program for the whole init — eager per-layer init issues
+# dozens of tiny dispatches, which is painfully slow on remote-attached TPUs.
+init_mmdit_jit = jax.jit(init_mmdit, static_argnums=(1,))

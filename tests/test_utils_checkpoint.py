@@ -1,0 +1,38 @@
+"""Telemetry + orbax checkpoint tests."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from regione_tpu.utils import telemetry
+from regione_tpu.weights import checkpoint
+
+
+def test_stage_timer_and_log(tmp_path):
+    t = telemetry.StageTimer()
+    x = jnp.ones((8, 8))
+    with t.stage("fwd", sync_on=x):
+        y = x * 2
+    assert "fwd" in t.as_dict() and t.segments["fwd"] >= 0
+    telemetry.log_stats(tmp_path / "stats.jsonl",
+                        {"speedup": np.float32(2.5), "segments": t.as_dict()})
+    rec = json.loads(open(tmp_path / "stats.jsonl").read())
+    assert rec["speedup"] == 2.5 and "ts" in rec
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+            "nested": {"b": jnp.ones((4,), jnp.bfloat16)}}
+    checkpoint.save(str(tmp_path / "ckpt"), tree)
+    back = checkpoint.load(str(tmp_path / "ckpt"))
+    np.testing.assert_array_equal(np.asarray(back["a"]), np.asarray(tree["a"]))
+    assert back["nested"]["b"].dtype == jnp.bfloat16
+
+
+def test_checkpoint_restore_with_like(tmp_path):
+    tree = {"w": jnp.ones((3, 3), jnp.float32)}
+    checkpoint.save(str(tmp_path / "c2"), tree)
+    back = checkpoint.load(str(tmp_path / "c2"), like=tree)
+    np.testing.assert_array_equal(np.asarray(back["w"]), np.ones((3, 3)))
