@@ -86,8 +86,10 @@ class RegionESampler:
         self.rags_forward = rags_forward
         self.init_cache = init_cache
         self._sts_jit = jax.jit(self._sts)
-        # one jit; retraces automatically per capacity (ids shape)
-        self._rest_jit = jax.jit(self._rest)
+        # one jit; retraces automatically per capacity (ids shape).
+        # latents + KV cache (args 0, 3) are donated: the cache pytree is
+        # O(GB) for the big backbones and is dead after the call.
+        self._rest_jit = jax.jit(self._rest, donate_argnums=(0, 3))
 
     # ------------------------------------------------------------------
     # public API

@@ -113,10 +113,20 @@ class EditPipelineBase:
 
     # -- rope / geometry ----------------------------------------------------
 
-    def build_rope(self, grid_h: int, grid_w: int, t_txt: int):
-        img_ids = latent_grid_ids(grid_h, grid_w, axis0=0)
-        cond_ids = latent_grid_ids(grid_h, grid_w, axis0=self.cond_axis0)
-        kv_ids = np.concatenate([img_ids, cond_ids], 0)
+    def build_rope(self, grid_h: int, grid_w: int, t_txt: int,
+                   cond_grids: list[tuple[int, int]] | None = None):
+        """Rotary tables for [noise ‖ condition] image rows and txt rows.
+
+        cond_grids: token-grid shapes of the condition image(s); each gets
+        a distinct axis-0 tag (1, 2, ...) so multi-reference conditioning
+        (Qwen-Image-Edit-2509) keeps references positionally separable —
+        the TPU-native analogue of the reference's per-image img_shapes
+        entries (RegionE/QwenImageEditPlus/inplace.py:293-300)."""
+        cond_grids = cond_grids or [(grid_h, grid_w)]
+        parts = [latent_grid_ids(grid_h, grid_w, axis0=0)]
+        for i, (ch, cw) in enumerate(cond_grids):
+            parts.append(latent_grid_ids(ch, cw, axis0=self.cond_axis0 + i))
+        kv_ids = np.concatenate(parts, 0)
         rope_img = rope_table(jnp.asarray(kv_ids), self.cfg.axes_dims,
                               self.cfg.rope_theta)
         rope_t = rope_table(jnp.asarray(txt_ids(t_txt)), self.cfg.axes_dims,
@@ -277,8 +287,15 @@ class EditPipelineBase:
     def prepare_inputs(self, image, prompt: str, negative_prompt: str = "",
                        width: int | None = None, height: int | None = None,
                        guidance_scale: float | None = None):
-        """Encode image + prompts, build rope tables and the ctx pytree."""
-        arr = np.asarray(image)
+        """Encode image(s) + prompts, build rope tables and the ctx pytree.
+
+        `image` may be a list for multi-reference backends (Plus): the
+        first image is the edit target (defines the output grid and the
+        partition reference — its latent rows come first in the condition
+        sequence); later images are extra references, each on its own
+        rope axis-0 tag."""
+        images = list(image) if isinstance(image, (list, tuple)) else [image]
+        arr = np.asarray(images[0])
         h0, w0 = arr.shape[:2]
         f = self.token_factor
         if width is None or height is None:
@@ -287,7 +304,21 @@ class EditPipelineBase:
         width, height = max(f, (width // f) * f), max(f, (height // f) * f)
         grid_h, grid_w = height // f, width // f
 
-        cond = self.encode_image(image, width, height)
+        cond_parts = [self.encode_image(images[0], width, height)]
+        cond_grids = [(grid_h, grid_w)]
+        for extra_img in images[1:]:
+            # extra references: aspect-preserving resize to the target's
+            # area (the reference pins refs to VAE_IMAGE_SIZE=1024^2, which
+            # equals the target area at production resolution —
+            # RegionE/QwenImageEditPlus CONDITION/VAE size constants)
+            ea = np.asarray(extra_img)
+            ratio = ea.shape[1] / ea.shape[0]
+            area = width * height
+            ew = max(f, int(round((area * ratio) ** 0.5 / f) * f))
+            eh = max(f, int(round((ew / ratio) / f) * f))
+            cond_parts.append(self.encode_image(extra_img, ew, eh))
+            cond_grids.append((eh // f, ew // f))
+        cond = jnp.concatenate(cond_parts, axis=1)
         emb_p, pooled_p, mask_p = self.text_encoder.encode(prompt)
         if self.do_cfg:
             emb_n, pooled_n, mask_n = self.text_encoder.encode(negative_prompt)
@@ -303,10 +334,11 @@ class EditPipelineBase:
                       if pooled_p is not None else None)
 
         t_txt = txt.shape[1]
-        s_kv = 2 * grid_h * grid_w
+        s_kv = grid_h * grid_w + int(cond.shape[1])
         bias = np.zeros((mask.shape[0], 1, 1, t_txt + s_kv), np.float32)
         bias[..., :t_txt] = np.where(mask, 0.0, -1e9)[:, None, None, :]
-        rope_img, rope_txt = self.build_rope(grid_h, grid_w, t_txt)
+        rope_img, rope_txt = self.build_rope(grid_h, grid_w, t_txt,
+                                             cond_grids=cond_grids)
 
         guidance = None
         if self.cfg.guidance_embed:
