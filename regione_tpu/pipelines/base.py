@@ -389,6 +389,7 @@ class EditPipelineBase:
         grid_w: int,
         dense_only: bool = False,
         forced_mask=None,
+        timed: bool = False,
     ) -> tuple[jnp.ndarray, SampleStats | None]:
         t_txt = ctx.txt.shape[1]
         batch_cache = 2 if self.do_cfg else 1
@@ -402,4 +403,4 @@ class EditPipelineBase:
             return sampler.sample_dense(latents0, ctx), None
         s_noise = latents0.shape[1]
         return sampler.sample(latents0, ctx.cond_latent[:, :s_noise], ctx,
-                              forced_mask=forced_mask)
+                              forced_mask=forced_mask, timed=timed)

@@ -103,3 +103,18 @@ def test_regione_multi_refresh_matches_oracle():
         lat0_np, cond, txt, GRID, GRID, pooled=pooled)
     assert 0 < stats.edited_tokens < S
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+def test_warmup_one_edge_case():
+    """warmup_step=1: partition happens at step 0 with no prior dense steps
+    (the STS scan is empty)."""
+    cfg, params, re, pipe = make_pipe()
+    re1 = re.replace(warmup_step=1, refresh_step=(16,))
+    pipe2 = EditPipelineBase(cfg, params, re1,
+                             gamma=gamma_for("step1x-edit"))
+    ctx, lat0, txt, pooled, cond, lat0_np = make_inputs(cfg, pipe2)
+    got, stats = pipe2.edit_latents(lat0, ctx, GRID, GRID)
+    want, _ = oracle_edit(params, cfg, re1, gamma_for("step1x-edit"),
+                          lat0_np, cond, txt, GRID, GRID, pooled=pooled)
+    assert 0 < stats.edited_tokens < S
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
