@@ -71,6 +71,9 @@ def build_pipeline(args):
         encoder = MockTextEncoder(cfg.txt_in_dim,
                                   cfg.pooled_dim or None, max_length=128)
 
+    if getattr(args, "int8", False):
+        from regione_tpu.ops.quant import quantize_params
+        params = quantize_params(params)
     pipe = classes[backend](cfg, params, re)
     pipe.attach_vae(vae_cfg, vae_params)
     pipe.attach_text_encoder(encoder)
@@ -180,6 +183,9 @@ def main(argv=None):
     ap.add_argument("--dev", action="store_true",
                     help="use the scaled :dev architecture preset")
     ap.add_argument("--random_weights", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only int8 quantization of the DiT "
+                         "(halves weight HBM; regione_tpu.ops.quant)")
     args = ap.parse_args(argv)
 
     pipe = build_pipeline(args)

@@ -33,6 +33,10 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 def linear(p, x):
+    if "w_q" in p:  # weight-only int8 (regione_tpu.ops.quant): XLA fuses
+        # the convert+scale into the matmul operand load
+        w = (p["w_q"].astype(jnp.float32) * p["scale"]).astype(x.dtype)
+        return jnp.dot(x, w, preferred_element_type=x.dtype) + p["b"]
     return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
 
 

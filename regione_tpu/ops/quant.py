@@ -1,0 +1,60 @@
+"""Weight-only int8 quantization for the DiT linear layers.
+
+The 20B Qwen-Image backbone does not fit a single 16 GB v5e chip in bf16
+(SURVEY.md §7.3.8).  Weight-only per-output-channel symmetric int8 halves
+weight HBM (and HBM bandwidth per matmul, which dominates the small-batch
+RAGS steps) at negligible quality cost; combined with tensor parallelism
+(regione_tpu.parallel) it brings the big backbones onto small slices.
+
+Format: a quantized linear is {"w_q": int8 [in, out], "scale": f32 [out],
+"b": [out]} — models.layers.linear dispatches on the presence of "w_q" and
+dequantizes inline (XLA fuses the int8->bf16 convert + scale into the
+matmul's operand load).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# param-dict keys whose weights should stay full precision (small, or
+# numerically sensitive embeds/modulations)
+_SKIP_SUBSTRINGS = ("norm", "mod", "time_in", "vector_in", "guidance_in",
+                    "final_mod")
+
+
+def quantize_linear(p: dict, axis: int = 0) -> dict:
+    """{"w": [in, out], "b"} -> {"w_q": int8, "scale": f32 [out], "b"}.
+    Symmetric per-output-channel over the reduction (in) axis."""
+    w = jnp.asarray(p["w"], jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = (amax / 127.0) + 1e-12
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {"w_q": w_q, "scale": scale.astype(jnp.float32),
+            "b": jnp.asarray(p["b"])}
+
+
+def dequantize_weight(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (p["w_q"].astype(jnp.float32) * p["scale"]).astype(dtype)
+
+
+def quantize_params(params, skip_substrings=_SKIP_SUBSTRINGS):
+    """Walk a model pytree; replace every eligible linear {"w","b"} dict
+    with its int8 form.  Stacked [L, in, out] weights quantize per (layer,
+    out-channel)."""
+
+    def walk(tree, path=""):
+        if isinstance(tree, dict):
+            if "w" in tree and "b" in tree and tree["w"].ndim in (2, 3):
+                if any(s in path for s in skip_substrings):
+                    return tree
+                axis = tree["w"].ndim - 2  # reduction (in) axis
+                return quantize_linear(tree, axis=axis)
+            return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
+        return tree
+
+    return walk(params)
+
+
+def quantized_bytes(params) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
