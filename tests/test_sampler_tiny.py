@@ -118,3 +118,17 @@ def test_warmup_one_edge_case():
                           lat0_np, cond, txt, GRID, GRID, pooled=pooled)
     assert 0 < stats.edited_tokens < S
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+def test_post_step_zero_matches_oracle():
+    """post_step=0: the final merge fires after the last step and the
+    sentinel refresh targets the terminal sigma (=0)."""
+    cfg, params, re, pipe = make_pipe()
+    re0 = re.replace(post_step=0)
+    pipe0 = EditPipelineBase(cfg, params, re0, gamma=gamma_for("step1x-edit"))
+    ctx, lat0, txt, pooled, cond, lat0_np = make_inputs(cfg, pipe0, seed=5)
+    got, stats = pipe0.edit_latents(lat0, ctx, GRID, GRID)
+    want, _ = oracle_edit(params, cfg, re0, gamma_for("step1x-edit"),
+                          lat0_np, cond, txt, GRID, GRID, pooled=pooled)
+    assert 0 < stats.edited_tokens < S
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
