@@ -122,16 +122,22 @@ class EditPipelineBase:
         (Qwen-Image-Edit-2509) keeps references positionally separable —
         the TPU-native analogue of the reference's per-image img_shapes
         entries (RegionE/QwenImageEditPlus/inplace.py:293-300)."""
+        kv_ids, t_ids = self.rope_position_ids(grid_h, grid_w, t_txt,
+                                               cond_grids)
+        rope_img = rope_table(jnp.asarray(kv_ids), self.cfg.axes_dims,
+                              self.cfg.rope_theta)
+        rope_t = rope_table(jnp.asarray(t_ids), self.cfg.axes_dims,
+                            self.cfg.rope_theta)
+        return rope_img, rope_t
+
+    def rope_position_ids(self, grid_h: int, grid_w: int, t_txt: int,
+                          cond_grids=None):
+        """Raw [S, 3] rotary position ids for [noise ‖ conds] and txt."""
         cond_grids = cond_grids or [(grid_h, grid_w)]
         parts = [latent_grid_ids(grid_h, grid_w, axis0=0)]
         for i, (ch, cw) in enumerate(cond_grids):
             parts.append(latent_grid_ids(ch, cw, axis0=self.cond_axis0 + i))
-        kv_ids = np.concatenate(parts, 0)
-        rope_img = rope_table(jnp.asarray(kv_ids), self.cfg.axes_dims,
-                              self.cfg.rope_theta)
-        rope_t = rope_table(jnp.asarray(txt_ids(t_txt)), self.cfg.axes_dims,
-                            self.cfg.rope_theta)
-        return rope_img, rope_t
+        return np.concatenate(parts, 0), txt_ids(t_txt)
 
     # -- model forward hooks passed to the sampler --------------------------
 

@@ -22,7 +22,9 @@ Reference behavior (RegionE/QwenImageEdit/inplace.py:70-459):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
+from regione_tpu.models.layers import rope_table
 from regione_tpu.pipelines.base import EditPipelineBase
 
 # reference RegionE/QwenImageEditPlus constants
@@ -58,6 +60,48 @@ class QwenImageEditPipeline(EditPipelineBase):
 
     def target_resolution(self, width: int, height: int) -> tuple[int, int]:
         return calculate_dimensions(VAE_IMAGE_AREA, width / height, 32)
+
+    def build_rope(self, grid_h: int, grid_w: int, t_txt: int,
+                   cond_grids=None):
+        """Qwen rotary convention (diffusers QwenEmbedRope semantics, used
+        by the reference's patched forward at
+        RegionE/QwenImageEdit/inplace.py:530-531):
+
+          * per-image (frame, h, w) ids where the frame coordinate is the
+            image index (noise=0, references=1..) and h/w coordinates are
+            CENTERED: arange(n) - (n - n//2), i.e. [-(n-n//2), n//2);
+          * text rows get diagonal ids (p+off, p+off, p+off) offset by
+            max(h//2, w//2) over all images (scale_rope layout).
+
+        Structurally equivalent to the generic grid rope for random
+        weights; exact for converted checkpoints."""
+        kv_ids, txt_ids3 = self.rope_position_ids(grid_h, grid_w, t_txt,
+                                                  cond_grids)
+        rope_img = rope_table(jnp.asarray(kv_ids), self.cfg.axes_dims,
+                              self.cfg.rope_theta)
+        rope_txt = rope_table(jnp.asarray(txt_ids3), self.cfg.axes_dims,
+                              self.cfg.rope_theta)
+        return rope_img, rope_txt
+
+    def rope_position_ids(self, grid_h: int, grid_w: int, t_txt: int,
+                          cond_grids=None):
+        cond_grids = cond_grids or [(grid_h, grid_w)]
+
+        def centered(n):
+            return np.arange(n, dtype=np.float32) - (n - n // 2)
+
+        parts = []
+        for idx, (h, w) in enumerate([(grid_h, grid_w)] + list(cond_grids)):
+            ys, xs = np.meshgrid(centered(h), centered(w), indexing="ij")
+            ids = np.stack([np.full_like(ys, float(idx)), ys, xs], -1)
+            parts.append(ids.reshape(-1, 3))
+        kv_ids = np.concatenate(parts, 0).astype(np.float32)
+
+        max_vid = max(max(h // 2, w // 2)
+                      for (h, w) in [(grid_h, grid_w)] + list(cond_grids))
+        tpos = (np.arange(t_txt, dtype=np.float32) + max_vid)[:, None]
+        txt_ids3 = np.repeat(tpos, 3, axis=1).astype(np.float32)
+        return kv_ids, txt_ids3
 
 
 class QwenImageEditPlusPipeline(QwenImageEditPipeline):

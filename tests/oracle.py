@@ -218,7 +218,7 @@ class OracleModel:
 
 def oracle_edit(params, cfg, re, gamma, lat0, cond_latent, txt,
                 grid_h, grid_w, pooled=None, cfg_combine=None, neg_txt=None,
-                cfg_scale=1.0):
+                cfg_scale=1.0, img_pos_ids=None, txt_pos_ids=None):
     """Full reference-style RegionE loop (dynamic shapes, host control flow).
 
     Replays: AVD (inplace.py:342-366), cond-concat gate (:377-378), the
@@ -235,13 +235,20 @@ def oracle_edit(params, cfg, re, gamma, lat0, cond_latent, txt,
     do_cfg = cfg_combine is not None and cfg_scale > 1.0
     batch = 2 if do_cfg else 1
 
-    # rope position id grids (must match pipelines.base.latent_grid_ids)
-    ys, xs = np.meshgrid(np.arange(grid_h), np.arange(grid_w), indexing="ij")
-    noise_pos = np.stack([np.zeros_like(ys), ys, xs], -1).reshape(-1, 3).astype(np.float32)
-    cond_pos = noise_pos.copy(); cond_pos[:, 0] = 1.0
-    full_img_pos = np.concatenate([noise_pos, cond_pos], 0)
+    # rope position ids (default: pipelines.base.latent_grid_ids layout;
+    # override for backends with their own rope convention, e.g. Qwen)
     t_txt = txt.shape[1]
-    txt_pos = np.zeros((t_txt, 3), np.float32)
+    if img_pos_ids is None:
+        ys, xs = np.meshgrid(np.arange(grid_h), np.arange(grid_w), indexing="ij")
+        noise_pos = np.stack([np.zeros_like(ys), ys, xs], -1
+                             ).reshape(-1, 3).astype(np.float32)
+        cond_pos = noise_pos.copy(); cond_pos[:, 0] = 1.0
+        full_img_pos = np.concatenate([noise_pos, cond_pos], 0)
+    else:
+        full_img_pos = np.asarray(img_pos_ids, np.float32)
+        noise_pos = full_img_pos[:s_noise]
+    txt_pos = (np.zeros((t_txt, 3), np.float32) if txt_pos_ids is None
+               else np.asarray(txt_pos_ids, np.float32))
 
     model = OracleModel(params, cfg, t_txt, 2 * s_noise, batch)
 

@@ -86,10 +86,11 @@ def test_qwen_norm_preserving_cfg_matches_oracle():
         nn = np.linalg.norm(comb, axis=-1, keepdims=True)
         return comb * (cn / np.maximum(nn, 1e-12))
 
+    kv_ids, txt_ids3 = pipe.rope_position_ids(GRID, GRID, T_TXT)
     want, _ = oracle_edit(
         params, cfg, re, gamma_for("qwen-image-edit"), lat0, cond, txt,
         GRID, GRID, pooled=None, cfg_combine=combine, neg_txt=neg,
-        cfg_scale=4.0)
+        cfg_scale=4.0, img_pos_ids=kv_ids, txt_pos_ids=txt_ids3)
     assert 0 < stats.edited_tokens < S
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
 
