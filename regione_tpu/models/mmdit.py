@@ -76,6 +76,9 @@ class MMDiTConfig:
     axes_dims: tuple = (16, 56, 56)
     rope_theta: float = 10000.0
     time_embed_dim: int = 256
+    txt_norm: bool = False         # RMSNorm on raw text features before
+                                   # txt_in (Qwen-Image, reference
+                                   # QwenImageEdit/inplace.py:519-520)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -274,7 +277,10 @@ def mmdit_forward(
             params["guidance_in"],
             timestep_embedding(guidance, cfg.time_embed_dim).astype(cfg.dtype))
     temb_act = jax.nn.silu(temb)
-    txt_h = linear(params["txt_in"], txt.astype(cfg.dtype))
+    txt_in = txt.astype(cfg.dtype)
+    if cfg.txt_norm:
+        txt_in = rmsnorm(txt_in, params["txt_norm"]["scale"])
+    txt_h = linear(params["txt_in"], txt_in)
 
     t_txt = txt_h.shape[1]
     dense_like = mode in (MODE_DENSE, MODE_WRITE)
@@ -394,6 +400,8 @@ def init_mmdit(key: jax.Array, cfg: MMDiTConfig):
     }
     if cfg.pooled_dim:
         params["vector_in"] = init_mlp_embed(keys[6], cfg.pooled_dim, h, dt)
+    if cfg.txt_norm:
+        params["txt_norm"] = {"scale": jnp.ones((cfg.txt_in_dim,), dt)}
     if cfg.guidance_embed:
         params["guidance_in"] = init_mlp_embed(keys[7], cfg.time_embed_dim, h, dt)
     if cfg.depth_single:

@@ -37,12 +37,12 @@ PRESETS: dict[str, MMDiTConfig] = {
     "qwen-image-edit": MMDiTConfig(
         hidden=3072, heads=24, head_dim=128, depth_double=60, depth_single=0,
         txt_in_dim=3584, pooled_dim=0, guidance_embed=False,
-        axes_dims=(16, 56, 56),
+        axes_dims=(16, 56, 56), txt_norm=True,
     ),
     "qwen-image-edit-plus": MMDiTConfig(
         hidden=3072, heads=24, head_dim=128, depth_double=60, depth_single=0,
         txt_in_dim=3584, pooled_dim=0, guidance_embed=False,
-        axes_dims=(16, 56, 56),
+        axes_dims=(16, 56, 56), txt_norm=True,
     ),
     # scaled-down single-chip benchmarking configs (same topology)
     "step1x-edit:dev": MMDiTConfig(
@@ -58,7 +58,7 @@ PRESETS: dict[str, MMDiTConfig] = {
     "qwen-image-edit:dev": MMDiTConfig(
         hidden=1536, heads=12, head_dim=128, depth_double=24, depth_single=0,
         txt_in_dim=1024, pooled_dim=0, guidance_embed=False,
-        axes_dims=(16, 56, 56),
+        axes_dims=(16, 56, 56), txt_norm=True,
     ),
     # CPU unit-test config
     "tiny": MMDiTConfig(
@@ -71,7 +71,7 @@ PRESETS: dict[str, MMDiTConfig] = {
         hidden=32, heads=2, head_dim=16, depth_double=3, depth_single=0,
         txt_in_dim=16, pooled_dim=0, guidance_embed=False,
         axes_dims=(4, 6, 6), time_embed_dim=32, mlp_ratio=2.0,
-        in_channels=8, out_channels=8, dtype=jnp.float32,
+        in_channels=8, out_channels=8, dtype=jnp.float32, txt_norm=True,
     ),
 }
 

@@ -84,9 +84,13 @@ def convert_flux_transformer(state: dict[str, np.ndarray], cfg,
     params = {
         "x_embedder": g("x_embedder"),
         "txt_in": g("context_embedder"),
+    }
+    if getattr(cfg, "txt_norm", False):
+        params["txt_norm"] = _norm_scale(state, "txt_norm.weight", dtype)
+    params.update({
         "time_in": mlp_embed("time_text_embed.timestep_embedder"),
         "final_proj": g("proj_out"),
-    }
+    })
     if cfg.pooled_dim and "time_text_embed.text_embedder.linear_1.weight" in state:
         params["vector_in"] = mlp_embed("time_text_embed.text_embedder")
     if cfg.guidance_embed:

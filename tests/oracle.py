@@ -115,7 +115,10 @@ class OracleModel:
                 timestep_embedding(jnp.asarray(guidance), cfg.time_embed_dim
                                    ).astype(cfg.dtype))
         temb_act = jax.nn.silu(temb)
-        txt_h = linear(self.p["txt_in"], jnp.asarray(txt, cfg.dtype))
+        txt_feat = jnp.asarray(txt, cfg.dtype)
+        if cfg.txt_norm:
+            txt_feat = rmsnorm(txt_feat, self.p["txt_norm"]["scale"])
+        txt_h = linear(self.p["txt_in"], txt_feat)
 
         rope_q_img = self.rope_for(img_pos)
         rope_k_img = self.rope_for(full_img_pos)
