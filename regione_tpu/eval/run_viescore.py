@@ -23,15 +23,21 @@ def main(argv=None):
                     help="results root holding <task>/generation; defaults "
                          "to --data_dir")
     ap.add_argument("--backbone", default="gpt4o",
-                    choices=["gpt4o", "dryrun"])
+                    choices=["gpt4o", "qwen25vl", "dryrun"])
     ap.add_argument("--model_name", default="gpt-4.1")
     ap.add_argument("--key_path", default=None)
+    ap.add_argument("--vlm_path", default=None,
+                    help="local VLM checkpoint dir (qwen25vl backbone)")
     ap.add_argument("--workers", type=int, default=6)
     args = ap.parse_args(argv)
 
     if args.backbone == "gpt4o":
         assert args.key_path, "--key_path required for the gpt4o backbone"
         backbone = OpenAIBackbone(args.key_path, args.model_name)
+    elif args.backbone == "qwen25vl":
+        from regione_tpu.eval.viescore import LocalVLMBackbone
+        assert args.vlm_path, "--vlm_path required for the qwen25vl backbone"
+        backbone = LocalVLMBackbone(args.vlm_path)
     else:
         backbone = DryRunBackbone()
     scorer = VIEScore(backbone)

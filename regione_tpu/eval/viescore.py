@@ -113,6 +113,40 @@ class OpenAIBackbone:
             raise
 
 
+class LocalVLMBackbone:
+    """Local vision-language judge via transformers (torch CPU/GPU) — the
+    reference's Qwen2.5-VL scoring path (mllm_tools/qwen25vl_eval.py).
+    Requires a locally available checkpoint (no hub download here)."""
+
+    def __init__(self, model_path: str, device: str = "cpu",
+                 max_new_tokens: int = 400):
+        import torch
+        from transformers import AutoModelForVision2Seq, AutoProcessor
+        self.torch = torch
+        self.processor = AutoProcessor.from_pretrained(model_path)
+        self.model = AutoModelForVision2Seq.from_pretrained(
+            model_path, torch_dtype=torch.float32).to(device).eval()
+        self.device = device
+        self.max_new_tokens = max_new_tokens
+
+    def get_parsed_output(self, prompt: str, images: list) -> str:
+        from PIL import Image
+        torch = self.torch
+        pil = [Image.fromarray(np.asarray(im)) for im in images]
+        content = [{"type": "image"} for _ in pil] + [
+            {"type": "text", "text": prompt}]
+        chat = self.processor.apply_chat_template(
+            [{"role": "user", "content": content}],
+            add_generation_prompt=True)
+        inputs = self.processor(text=chat, images=pil,
+                                return_tensors="pt").to(self.device)
+        with torch.no_grad():
+            out = self.model.generate(**inputs,
+                                      max_new_tokens=self.max_new_tokens)
+        new_tokens = out[0][inputs["input_ids"].shape[1]:]
+        return self.processor.decode(new_tokens, skip_special_tokens=True)
+
+
 class VIEScore:
     """SC/PQ/O scoring of one (source, edited, instruction) triple
     (reference viescore/__init__.py:10-101)."""
