@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from regione_tpu.core.config import DEFAULT_PARAMS, RegionEParams
+from regione_tpu.core.config import DEFAULT_PARAMS
 
 # Per-backend defaults, same values as reference RegionE/tool/RegionE.py:1-7.
 BACKEND_DEFAULTS: dict[str, dict[str, Any]] = {

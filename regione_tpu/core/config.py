@@ -14,7 +14,7 @@ be relaxed when a custom gamma table of matching length is supplied.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+
 
 
 def _parse_refresh(refresh) -> tuple[int, ...]:

@@ -17,7 +17,7 @@ gather -> dense MXU matmul -> dropped scatter, all fusable by XLA.
 
 from __future__ import annotations
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 

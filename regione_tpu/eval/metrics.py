@@ -31,7 +31,8 @@ def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
 
 
 def _uniform_filter(x: np.ndarray, size: int) -> np.ndarray:
-    """Separable uniform filter with reflect padding (scipy-free)."""
+    """Separable uniform filter with edge padding (scipy-free); borders are
+    cropped by the caller so the padding mode does not affect results."""
     pad = size // 2
     for axis in (0, 1):
         xp = np.take(x, np.clip(np.arange(-pad, x.shape[axis] + pad),

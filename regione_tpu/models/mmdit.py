@@ -79,6 +79,9 @@ class MMDiTConfig:
     txt_norm: bool = False         # RMSNorm on raw text features before
                                    # txt_in (Qwen-Image, reference
                                    # QwenImageEdit/inplace.py:519-520)
+    connector: Any = None          # ConnectorConfig for Step1X's timestep-
+                                   # conditioned text refiner (reference
+                                   # inplace.py:514-520); None = disabled
     dtype: Any = jnp.bfloat16
 
     @property
@@ -270,14 +273,25 @@ def mmdit_forward(
     x = linear(params["x_embedder"], img.astype(cfg.dtype))
     temb = mlp_embed(params["time_in"],
                      timestep_embedding(t, cfg.time_embed_dim).astype(cfg.dtype))
-    if cfg.pooled_dim and pooled is not None:
+    if cfg.pooled_dim and pooled is not None and cfg.connector is None:
         temb = temb + mlp_embed(params["vector_in"], pooled.astype(cfg.dtype))
     if cfg.guidance_embed and guidance is not None:
         temb = temb + mlp_embed(
             params["guidance_in"],
             timestep_embedding(guidance, cfg.time_embed_dim).astype(cfg.dtype))
-    temb_act = jax.nn.silu(temb)
     txt_in = txt.astype(cfg.dtype)
+    if cfg.connector is not None:
+        # Step1X: refine text features per timestep and derive the pooled
+        # vector y from the connector (inplace.py:514-520)
+        from regione_tpu.models.connector import connector_apply
+        txt_mask = None
+        if txt_bias is not None:
+            txt_mask = txt_bias[:, 0, 0, :txt.shape[1]] > -1.0
+        txt_in, y = connector_apply(params["connector"], cfg.connector,
+                                    txt_in, t, txt_mask)
+        if cfg.pooled_dim:
+            temb = temb + mlp_embed(params["vector_in"], y.astype(cfg.dtype))
+    temb_act = jax.nn.silu(temb)
     if cfg.txt_norm:
         txt_in = rmsnorm(txt_in, params["txt_norm"]["scale"])
     txt_h = linear(params["txt_in"], txt_in)
@@ -402,6 +416,10 @@ def init_mmdit(key: jax.Array, cfg: MMDiTConfig):
         params["vector_in"] = init_mlp_embed(keys[6], cfg.pooled_dim, h, dt)
     if cfg.txt_norm:
         params["txt_norm"] = {"scale": jnp.ones((cfg.txt_in_dim,), dt)}
+    if cfg.connector is not None:
+        from regione_tpu.models.connector import init_connector
+        params["connector"] = init_connector(jax.random.fold_in(key, 7),
+                                             cfg.connector)
     if cfg.guidance_embed:
         params["guidance_in"] = init_mlp_embed(keys[7], cfg.time_embed_dim, h, dt)
     if cfg.depth_single:

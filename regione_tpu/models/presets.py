@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from regione_tpu.models.connector import ConnectorConfig
 from regione_tpu.models.mmdit import MMDiTConfig
 
 PRESETS: dict[str, MMDiTConfig] = {
@@ -20,11 +21,15 @@ PRESETS: dict[str, MMDiTConfig] = {
         hidden=3072, heads=24, head_dim=128, depth_double=19, depth_single=38,
         txt_in_dim=3584, pooled_dim=768, guidance_embed=False,
         axes_dims=(16, 56, 56),
+        connector=ConnectorConfig(in_dim=3584, hidden=3584, heads=28,
+                                  depth=2, pooled_dim=768),
     ),
     "step1x-edit-v1p2": MMDiTConfig(
         hidden=3072, heads=24, head_dim=128, depth_double=19, depth_single=38,
         txt_in_dim=3584, pooled_dim=768, guidance_embed=False,
         axes_dims=(16, 56, 56),
+        connector=ConnectorConfig(in_dim=3584, hidden=3584, heads=28,
+                                  depth=2, pooled_dim=768),
     ),
     # FLUX.1 Kontext dev: guidance-distilled (embedded guidance scale).
     "flux-kontext": MMDiTConfig(

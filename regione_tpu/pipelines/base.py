@@ -24,7 +24,7 @@ Subclasses: Step1XEditPipeline, FluxKontextPipeline, QwenImageEditPipeline...
 from __future__ import annotations
 
 import dataclasses
-import functools
+
 from typing import Any
 
 import jax
