@@ -88,9 +88,14 @@ def init_vae_cached(vae_cfg, seed):
 
 
 def save_png(path: Path, img_uint8: np.ndarray):
+    """Save an image; .webp paths use lossless webp (the reference v1.2
+    driver's save format)."""
     from PIL import Image
     path.parent.mkdir(parents=True, exist_ok=True)
-    Image.fromarray(img_uint8).save(path)
+    if path.suffix == ".webp":
+        Image.fromarray(img_uint8).save(path, lossless=True)
+    else:
+        Image.fromarray(img_uint8).save(path)
 
 
 def load_image(path: str) -> np.ndarray:
@@ -113,7 +118,7 @@ def run_demo(pipe, args):
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         times.append(dt)
-        save_png(out_dir / f"demo_{i}.png", out)
+        save_png(out_dir / f"demo_{i}.{args.save_format}", out)
         print(f"[{i}] {dt:.2f}s edited={getattr(stats, 'edited_tokens', '-')} "
               f"prompt={item['prompt'][:60]!r}")
     if times:
@@ -143,7 +148,7 @@ def run_evaluation(pipe, args):
                           output_type="uint8")
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
-            save_png(gen_dir / f"{key}.png", out)
+            save_png(gen_dir / f"{key}.{args.save_format}", out)
             metadata[key] = item["prompt"]
         out_task.mkdir(parents=True, exist_ok=True)
         json.dump({"num_item": len(times),
@@ -183,11 +188,14 @@ def main(argv=None):
     ap.add_argument("--dev", action="store_true",
                     help="use the scaled :dev architecture preset")
     ap.add_argument("--random_weights", action="store_true")
+    ap.add_argument("--save_format", default="png", choices=["png", "webp"])
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 quantization of the DiT "
                          "(halves weight HBM; regione_tpu.ops.quant)")
     args = ap.parse_args(argv)
 
+    from regione_tpu.utils.telemetry import enable_compile_cache
+    enable_compile_cache()
     pipe = build_pipeline(args)
     if args.num_warmup_runs and args.image_path:
         img = load_image(args.image_path)

@@ -111,8 +111,20 @@ class RegionESampler:
         sts_s = _time.perf_counter() - t0
         cap = self.re.rags_capacity or pick_capacity(
             n_edit, s_noise, self.re.capacity_granularity)
+        if n_edit > cap:
+            # only possible with a user-pinned rags_capacity; dropping edited
+            # tokens silently would diverge from the reference's semantics
+            import warnings
+            warnings.warn(
+                f"edited tokens ({n_edit}) exceed pinned rags_capacity "
+                f"({cap}); the highest-index {n_edit - cap} edited tokens "
+                "will be treated as unedited", stacklevel=2)
         ids = jnp.asarray(
             masking.mask_to_padded_ids(np.asarray(jax.device_get(mask)), cap))
+        if n_edit > cap:
+            # keep mask consistent with the truncated id set (refresh
+            # split-steps select by mask)
+            mask = jnp.zeros((s_noise,), bool).at[ids].set(True, mode="drop")
         t1 = _time.perf_counter()
         lat = self._rest_jit(lat, ids, mask, cache, ctx)
         rest_s = 0.0

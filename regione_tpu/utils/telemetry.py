@@ -27,6 +27,17 @@ import jax
 import jax.numpy as jnp
 
 
+def enable_compile_cache(path: str = "/tmp/regione_tpu_jax_cache") -> None:
+    """Persistent XLA compile cache: the two jitted sampler segments of a
+    production backbone take minutes to compile cold; cached they restore in
+    seconds across processes.  Called by the CLI and bench entrypoints."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass  # older jax or unsupported backend
+
+
 def device_sync(x) -> float:
     """Force completion of everything producing x; returns a scalar."""
     return float(jnp.sum(jax.tree.leaves(x)[0]))

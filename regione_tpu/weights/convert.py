@@ -277,3 +277,31 @@ def _tree_cast(tree, dtype):
     import jax
     import jax.numpy as jnp
     return jax.tree.map(lambda x: jnp.asarray(x, dtype), tree)
+
+
+def main(argv=None):
+    """Offline conversion CLI: HF checkpoint dir -> orbax pytree checkpoints.
+
+    python -m regione_tpu.weights.convert --model_path <hf_dir> \
+        --backend step1x-edit --out <dir>
+    """
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--backend", default="step1x-edit")
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+
+    from regione_tpu.models.presets import get_config
+    from regione_tpu.weights import checkpoint
+
+    cfg = get_config(args.backend)
+    params, vae_cfg, vae_params, _enc = load_converted(args.model_path, cfg)
+    checkpoint.save(f"{args.out}/transformer", params)
+    checkpoint.save(f"{args.out}/vae", vae_params)
+    print(f"converted {args.backend} -> {args.out} "
+          f"(vae latent_channels={vae_cfg.latent_channels})")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,3 +36,15 @@ def test_checkpoint_restore_with_like(tmp_path):
     checkpoint.save(str(tmp_path / "c2"), tree)
     back = checkpoint.load(str(tmp_path / "c2"), like=tree)
     np.testing.assert_array_equal(np.asarray(back["w"]), np.ones((3, 3)))
+
+
+def test_profiler_trace_smoke(tmp_path):
+    with telemetry.trace(str(tmp_path / "prof")):
+        x = jnp.ones((16, 16)) @ jnp.ones((16, 16))
+        telemetry.device_sync(x)
+    # a trace directory with events must exist
+    assert any((tmp_path / "prof").rglob("*"))
+
+
+def test_enable_compile_cache_no_crash():
+    telemetry.enable_compile_cache("/tmp/regione_tpu_test_cache")
