@@ -98,7 +98,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def flash_attention(q, k, v, bias=None, block_q: int = 256, block_k: int = 512,
+def flash_attention(q, k, v, bias=None, block_q: int = 128, block_k: int = 512,
                     interpret: bool = False):
     """q: [B, H, T, D]; k, v: [B, H, S, D]; bias: [B, S] additive or None.
     Returns [B, T, H*D] (same contract as models.layers.sdpa).
