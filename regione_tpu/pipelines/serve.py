@@ -1,0 +1,87 @@
+"""Serving utilities: throughput-oriented request processing.
+
+The reference is a demo/eval script (one image at a time, fully
+synchronous).  For production serving we exploit two properties of this
+framework:
+
+  * compiled samplers are cached per (geometry, capacity bucket) — steady-
+    state requests at a common resolution pay zero compile;
+  * request *preparation* (host-side: PIL decode/resize, text encoding) is
+    CPU work that overlaps with the previous request's TPU denoise, so a
+    single-chip service hides most host latency behind device compute.
+
+`EditService.run(requests)` prefetches preparation one request ahead on a
+worker thread and reports per-request latency + sampler stats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class EditRequest:
+    image: Any                    # array/PIL or list for multi-reference
+    prompt: str
+    negative_prompt: str = ""
+    width: int | None = None
+    height: int | None = None
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class EditResult:
+    image: np.ndarray
+    stats: Any
+    latency_s: float
+    prep_s: float
+
+
+class EditService:
+    """Sequential-denoise, overlapped-prep edit service over one pipeline."""
+
+    def __init__(self, pipeline, use_regione: bool = True):
+        self.pipe = pipeline
+        self.pipe._regione_enabled = use_regione
+
+    def _prepare(self, req: EditRequest):
+        t0 = time.perf_counter()
+        ctx, (w, h, gh, gw) = self.pipe.prepare_inputs(
+            req.image, req.prompt, req.negative_prompt, req.width, req.height)
+        lat0 = jax.random.normal(
+            jax.random.PRNGKey(req.seed),
+            (1, gh * gw, self.pipe.cfg.in_channels), jnp.float32)
+        return (ctx, lat0, gh, gw), time.perf_counter() - t0
+
+    def _denoise_decode(self, prepared) -> tuple[np.ndarray, Any]:
+        from regione_tpu.models import vae as V
+        ctx, lat0, gh, gw = prepared
+        lat, stats = self.pipe.edit_latents(lat0, ctx, gh, gw)
+        z = V.unpack_latents(lat.astype(jnp.float32), gh, gw)
+        z = V.denormalize_latents(self.pipe.vae_cfg, z)
+        img = V.decode(self.pipe.vae_params["decoder"], self.pipe.vae_cfg, z)
+        img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0.0, 1.0))[0]
+        return (img * 255).round().astype(np.uint8), stats
+
+    def run(self, requests: Sequence[EditRequest]) -> list[EditResult]:
+        results: list[EditResult] = []
+        with ThreadPoolExecutor(max_workers=1) as prep_pool:
+            fut = prep_pool.submit(self._prepare, requests[0])
+            for i, req in enumerate(requests):
+                prepared, prep_s = fut.result()
+                if i + 1 < len(requests):
+                    # overlap the NEXT request's host prep with this denoise
+                    fut = prep_pool.submit(self._prepare, requests[i + 1])
+                t0 = time.perf_counter()
+                img, stats = self._denoise_decode(prepared)
+                results.append(EditResult(
+                    image=img, stats=stats,
+                    latency_s=time.perf_counter() - t0, prep_s=prep_s))
+        return results
