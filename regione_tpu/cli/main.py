@@ -112,9 +112,19 @@ def run_demo(pipe, args):
     for i, item in enumerate(items):
         img = load_image(item["image"])
         t0 = time.perf_counter()
-        out, stats = pipe(img, item["prompt"], seed=args.seed,
-                          width=args.size_level, height=args.size_level,
-                          output_type="uint8")
+        if args.enable_thinking or args.enable_reflection:
+            from regione_tpu.pipelines.thinker import edit_with_reflection
+            out, info = edit_with_reflection(
+                pipe, img, item["prompt"],
+                enable_thinking=args.enable_thinking,
+                enable_reflection=args.enable_reflection,
+                max_try_cnt=args.max_try_cnt, seed=args.seed,
+                width=args.size_level, height=args.size_level)
+            stats = None
+        else:
+            out, stats = pipe(img, item["prompt"], seed=args.seed,
+                              width=args.size_level, height=args.size_level,
+                              output_type="uint8")
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         times.append(dt)
@@ -189,6 +199,12 @@ def main(argv=None):
                     help="use the scaled :dev architecture preset")
     ap.add_argument("--random_weights", action="store_true")
     ap.add_argument("--save_format", default="png", choices=["png", "webp"])
+    ap.add_argument("--enable_thinking", action="store_true",
+                    help="v1.2 thinker prompt rewrite (reference CLI "
+                         "hardcodes these off, src/Step1X-Edit-v1p2/"
+                         "main.py:42-43)")
+    ap.add_argument("--enable_reflection", action="store_true")
+    ap.add_argument("--max_try_cnt", type=int, default=3)
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 quantization of the DiT "
                          "(halves weight HBM; regione_tpu.ops.quant)")

@@ -93,12 +93,13 @@ def attn_block(p, x, groups: int):
 # encoder / decoder
 # ---------------------------------------------------------------------------
 
-def encode(params, cfg: VAEConfig, images: jnp.ndarray) -> jnp.ndarray:
-    """images [B, H, W, 3] in [-1, 1] -> latent moments' mean
-    [B, H/8, W/8, C_lat] (deterministic encode: mode of the posterior, as
-    diffusers' .mode(); reference uses sample(generator) — mode keeps
-    parity deterministic and the difference is below the noise floor of
-    the edit task)."""
+def encode(params, cfg: VAEConfig, images: jnp.ndarray,
+           key: jax.Array | None = None) -> jnp.ndarray:
+    """images [B, H, W, 3] in [-1, 1] -> latent [B, H/8, W/8, C_lat].
+
+    Default: mode of the posterior (diffusers .mode()) — deterministic.
+    Pass `key` to sample the posterior instead (mean + std * eps), matching
+    the reference's encode path which samples with a seeded generator."""
     g = cfg.norm_num_groups
     x = conv2d(params["conv_in"], images.astype(cfg.dtype))
     for i, blk in enumerate(params["down"]):
@@ -113,7 +114,10 @@ def encode(params, cfg: VAEConfig, images: jnp.ndarray) -> jnp.ndarray:
     x = resnet_block(m["res2"], x, g)
     x = groupnorm(params["norm_out"], x, g)
     x = conv2d(params["conv_out"], jax.nn.silu(x))
-    mean, _logvar = jnp.split(x, 2, axis=-1)
+    mean, logvar = jnp.split(x, 2, axis=-1)
+    if key is not None:
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+        return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
     return mean
 
 
