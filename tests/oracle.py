@@ -221,7 +221,8 @@ class OracleModel:
 
 def oracle_edit(params, cfg, re, gamma, lat0, cond_latent, txt,
                 grid_h, grid_w, pooled=None, cfg_combine=None, neg_txt=None,
-                cfg_scale=1.0, img_pos_ids=None, txt_pos_ids=None):
+                cfg_scale=1.0, img_pos_ids=None, txt_pos_ids=None,
+                guidance=None):
     """Full reference-style RegionE loop (dynamic shapes, host control flow).
 
     Replays: AVD (inplace.py:342-366), cond-concat gate (:377-378), the
@@ -283,7 +284,9 @@ def oracle_edit(params, cfg, re, gamma, lat0, cond_latent, txt,
         if do_cfg:
             img = np.concatenate([img, img], 0)
         v = model(img, txt_in, float(sigmas[i]), img_pos, full_img_pos,
-                  txt_pos, phase, sel, pooled=pooled_in)
+                  txt_pos, phase, sel, pooled=pooled_in,
+                  guidance=(np.full((img.shape[0],), guidance, np.float32)
+                            if guidance is not None else None))
         v = v[:, :lat_in.shape[1]]
         if do_cfg:
             v_pos, v_neg = v[:1], v[1:]
