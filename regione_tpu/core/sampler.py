@@ -222,7 +222,7 @@ class RegionESampler:
             if kind == "rags":
                 lat_act = masking.gather_rows(lat, ids)
                 avd_act = masking.gather_rows(avd_full, ids)
-                cache, lat_act = self._rags_scan(lat_act, avd_act, cache, ids,
+                cache, lat_act = self._rags_runs(lat_act, avd_act, cache, ids,
                                                  valid, steps, ctx)
                 lat = masking.scatter_rows(lat, ids, lat_act)
             else:
@@ -240,32 +240,46 @@ class RegionESampler:
                         lat = lat + sp.dt * v.astype(jnp.float32)
         return lat
 
-    def _rags_scan(self, lat_act, avd_act, cache, ids, valid, steps, ctx):
-        sig = jnp.array([sp.sigma for sp in steps], jnp.float32)
-        dts = jnp.array([sp.dt for sp in steps], jnp.float32)
-        reuse = jnp.array([sp.reuse for sp in steps], bool)
-        ratio = jnp.array([sp.ratio for sp in steps], jnp.float32)
+    def _rags_runs(self, lat_act, avd_act, cache, ids, valid, steps, ctx):
+        """Run a RAGS segment, split at the (statically known) AVD reuse
+        boundaries:
 
-        def body(carry, xs):
-            la, cache, avd = carry
-            s, dt, ru, rt = xs
+          * a run of consecutive REUSE steps collapses to one fused
+            multiply-add — each reuse step contributes
+            `dt_i * (avd * ratio_i)` with the UN-decayed cached velocity
+            (reference inplace.py:362-366), so the whole run is
+            `lat += avd * Σ dt_i·ratio_i`.  Zero model FLOPs, zero loop.
+          * a run of consecutive COMPUTE steps is a branch-free lax.scan
+            over the transformer.
+        """
+        i = 0
+        n = len(steps)
+        while i < n:
+            if steps[i].reuse:
+                j = i
+                const = 0.0
+                while j < n and steps[j].reuse:
+                    const += steps[j].dt * steps[j].ratio
+                    j += 1
+                lat_act = (lat_act + jnp.float32(const) * avd_act) * valid
+                i = j
+            else:
+                j = i
+                while j < n and not steps[j].reuse:
+                    j += 1
+                run = steps[i:j]
+                sig = jnp.array([sp.sigma for sp in run], jnp.float32)
+                dts = jnp.array([sp.dt for sp in run], jnp.float32)
 
-            def compute(ops):
-                la_, cache_, avd_ = ops
-                v, c2 = self.rags_forward(la_, s, cache_, ids, ctx)
-                v = v.astype(jnp.float32)
-                return v, c2, v  # AVD cache <- fresh velocity
+                def body(carry, xs):
+                    la, cache, _avd = carry
+                    s, dt = xs
+                    v, cache = self.rags_forward(la, s, cache, ids, ctx)
+                    v = v.astype(jnp.float32)
+                    la = (la + dt * v) * valid
+                    return (la, cache, v), None  # AVD cache <- fresh velocity
 
-            def reuse_fn(ops):
-                la_, cache_, avd_ = ops
-                # noise_pred = cache * ratio; cache itself NOT decayed
-                # (reference inplace.py:362-366)
-                return avd_ * rt, cache_, avd_
-
-            v, cache, avd = jax.lax.cond(ru, reuse_fn, compute, (la, cache, avd))
-            la = (la + dt * v) * valid  # re-zero padded capacity slots
-            return (la, cache, avd), None
-
-        (lat_act, cache, _), _ = jax.lax.scan(
-            body, (lat_act, cache, avd_act), (sig, dts, reuse, ratio))
+                (lat_act, cache, avd_act), _ = jax.lax.scan(
+                    body, (lat_act, cache, avd_act), (sig, dts))
+                i = j
         return cache, lat_act
