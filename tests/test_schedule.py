@@ -199,3 +199,75 @@ def test_pick_capacity():
     assert pick_capacity(300, 4096) == 512
     assert pick_capacity(256, 4096) == 256
     assert pick_capacity(5000, 4096) == 4096
+
+
+def test_plan_property_fuzz_vs_reference_simulation():
+    """Property test: for many random valid configs, the static plan's AVD
+    and bookkeeping fields must match an independent replay of the
+    reference's control flow, and segments must tile the step range."""
+    rng = np.random.default_rng(0)
+    gamma = gamma_for("step1x-edit").astype(np.float64)
+    mu = calculate_shift(4096)
+    sigmas = build_sigmas(28, mu=mu)
+    timesteps = sigmas[:28].astype(np.float64) * 1000.0
+
+    tried = 0
+    for _ in range(200):
+        warmup = int(rng.integers(1, 10))
+        post = int(rng.integers(0, 4))
+        hi = 28 - post - 1
+        lo = warmup + 2
+        if lo > hi:
+            continue
+        n_ref = int(rng.integers(1, 3))
+        refs = sorted(rng.choice(np.arange(lo, hi + 1), size=min(n_ref, hi - lo + 1),
+                                 replace=False).tolist())
+        if any(abs(refs[i] - refs[i + 1]) == 1 for i in range(len(refs) - 1)):
+            continue
+        ct = float(rng.choice([0.0, 0.01, 0.02, 0.05, 0.2]))
+        params = RegionEParams(warmup_step=warmup, post_step=post,
+                               refresh_step=tuple(refs), cache_threshold=ct)
+        try:
+            params.validate()
+        except AssertionError:
+            continue
+        tried += 1
+        plan = build_stage_plan(params, sigmas, gamma)
+
+        # independent replay (transcribed from the reference's loop)
+        refresh_rt = [r - 1 for r in params.refresh_with_sentinel]
+        prev_r, next_r, acc = None, None, 1.0
+        for i in range(28):
+            forced = (i <= warmup or i > 28 - post - 1
+                      or (prev_r is not None and i == prev_r))
+            reuse, ratio = False, 1.0
+            if forced:
+                acc = 1.0
+            else:
+                r = float(gamma[i - 1]) * (1 + (timesteps[i] - timesteps[i - 1]) / 1000)
+                if r >= 1:
+                    acc = 1.0
+                else:
+                    a2 = acc * r
+                    if 1 - a2 > ct:
+                        acc = 1.0
+                    else:
+                        reuse, ratio, acc = True, r, a2
+            assert plan[i].reuse == reuse, (warmup, post, refs, ct, i)
+            if reuse:
+                assert plan[i].ratio == pytest.approx(ratio)
+            if i == warmup - 1:
+                prev_r = refresh_rt.pop(0)
+            elif prev_r is not None and i == prev_r and refresh_rt:
+                next_r = refresh_rt.pop(0)
+            nxt = i + 1
+            if nxt == 28 - post:
+                prev_r = None
+            elif prev_r is not None and nxt == prev_r + 1:
+                prev_r = next_r
+
+        # segments tile the plan exactly
+        segs = plan_segments(plan)
+        flat = [sp.index for _, ss in segs for sp in ss]
+        assert flat == list(range(28))
+    assert tried > 50
