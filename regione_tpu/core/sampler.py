@@ -12,10 +12,10 @@ compiles the whole loop into exactly TWO jitted calls per image:
   2. `_rest`: everything from the first RAGS step to the end — RAGS scans,
      dense refresh split-steps, merge/shrink layout transitions, and the SMS
      steps — traced against the host-precomputed static stage plan
-     (regione_tpu.core.schedule).  Uniform step runs use `lax.scan`; the
-     adaptive-velocity-decay reuse decision is a `lax.cond` whose predicate
-     comes from the static plan, so reuse steps skip the transformer
-     entirely at runtime.
+     (regione_tpu.core.schedule).  Uniform compute runs use `lax.scan`;
+     adaptive-velocity-decay REUSE runs are statically known and collapse
+     to a single closed-form fused multiply-add per run
+     (lat += avd * sum(dt_i * ratio_i)) — zero model FLOPs.
 
 Shape policy: latents stay full-length [B, S_noise, C] in fp32 (the
 reference also upcasts in the scheduler, inplace.py:615); the RAGS phase
@@ -77,6 +77,7 @@ class RegionESampler:
         dense_forward: Callable,
         rags_forward: Callable,
         init_cache: Callable[[], Any],
+        progress_cb: Callable[[int], None] | None = None,
     ):
         self.plan = plan
         self.re = params_re
@@ -85,11 +86,20 @@ class RegionESampler:
         self.dense_forward = dense_forward
         self.rags_forward = rags_forward
         self.init_cache = init_cache
+        self.progress_cb = progress_cb
         self._sts_jit = jax.jit(self._sts)
+        # progress ticks use async host callbacks: the compiled loop has no
+        # natural host boundary (unlike the reference's per-step tqdm,
+        # inplace.py:337), so an opt-in jax.debug.callback fires per step.
         # one jit; retraces automatically per capacity (ids shape).
         # latents + KV cache (args 0, 3) are donated: the cache pytree is
         # O(GB) for the big backbones and is dead after the call.
         self._rest_jit = jax.jit(self._rest, donate_argnums=(0, 3))
+
+    def _tick(self, idx):
+        """Async per-step progress tick (opt-in)."""
+        if self.progress_cb is not None:
+            jax.debug.callback(self.progress_cb, jnp.int32(idx), ordered=False)
 
     # ------------------------------------------------------------------
     # public API
@@ -180,13 +190,15 @@ class RegionESampler:
         if warm:
             sig = jnp.array([sp.sigma for sp in warm], jnp.float32)
             dts = jnp.array([sp.dt for sp in warm], jnp.float32)
+            idxs = jnp.array([sp.index for sp in warm], jnp.int32)
 
             def body(l, xs):
-                s, dt = xs
+                s, dt, idx = xs
                 v, _ = self.dense_forward(l, s, None, ctx, False)
+                self._tick(idx)
                 return l + dt * v.astype(jnp.float32), None
 
-            lat, _ = jax.lax.scan(body, lat, (sig, dts))
+            lat, _ = jax.lax.scan(body, lat, (sig, dts, idxs))
 
         cache = self.init_cache()
         v, cache = self.dense_forward(lat, jnp.float32(part.sigma), cache, ctx, True)
@@ -206,6 +218,7 @@ class RegionESampler:
         # split step: edited rows take the normal Euler step, unedited rows
         # long-jump to the refresh sigma (reference inplace.py:653-668)
         lat = masking.where_rows(mask, lat + part.dt * v, lat + part.dt_jump * v)
+        self._tick(part.index)
         return lat, mask, cache
 
     # ------------------------------------------------------------------
@@ -238,6 +251,7 @@ class RegionESampler:
                         v, _ = self.dense_forward(
                             lat, jnp.float32(sp.sigma), None, ctx, False)
                         lat = lat + sp.dt * v.astype(jnp.float32)
+                    self._tick(sp.index)
         return lat
 
     def _rags_runs(self, lat_act, avd_act, cache, ids, valid, steps, ctx):
@@ -262,6 +276,7 @@ class RegionESampler:
                     const += steps[j].dt * steps[j].ratio
                     j += 1
                 lat_act = (lat_act + jnp.float32(const) * avd_act) * valid
+                self._tick(steps[j - 1].index)  # one tick per reuse run
                 i = j
             else:
                 j = i
@@ -270,16 +285,18 @@ class RegionESampler:
                 run = steps[i:j]
                 sig = jnp.array([sp.sigma for sp in run], jnp.float32)
                 dts = jnp.array([sp.dt for sp in run], jnp.float32)
+                idxs = jnp.array([sp.index for sp in run], jnp.int32)
 
                 def body(carry, xs):
                     la, cache, _avd = carry
-                    s, dt = xs
+                    s, dt, idx = xs
                     v, cache = self.rags_forward(la, s, cache, ids, ctx)
                     v = v.astype(jnp.float32)
                     la = (la + dt * v) * valid
+                    self._tick(idx)
                     return (la, cache, v), None  # AVD cache <- fresh velocity
 
                 (lat_act, cache, avd_act), _ = jax.lax.scan(
-                    body, (lat_act, cache, avd_act), (sig, dts))
+                    body, (lat_act, cache, avd_act), (sig, dts, idxs))
                 i = j
         return cache, lat_act

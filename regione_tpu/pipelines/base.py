@@ -230,6 +230,7 @@ class EditPipelineBase:
             dense_forward=self.dense_forward,
             rags_forward=self.rags_forward,
             init_cache=make_cache,
+            progress_cb=getattr(self, "progress_cb", None),
         )
         self._samplers[key] = sampler
         return sampler

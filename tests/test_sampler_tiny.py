@@ -132,3 +132,17 @@ def test_post_step_zero_matches_oracle():
                           lat0_np, cond, txt, GRID, GRID, pooled=pooled)
     assert 0 < stats.edited_tokens < S
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+def test_progress_callback_fires_per_step():
+    cfg, params, re, pipe = make_pipe()
+    ticks = []
+    pipe.progress_cb = lambda idx: ticks.append(int(idx))
+    ctx, lat0, *_ = make_inputs(cfg, pipe, seed=9)
+    out, stats = pipe.edit_latents(lat0, ctx, GRID, GRID)
+    jax.block_until_ready(out)
+    import time
+    time.sleep(0.5)  # callbacks are async
+    # every dense/compute step ticks once; each reuse RUN ticks once
+    assert len(ticks) >= stats.dense_steps
+    assert max(ticks) == 27 and min(ticks) == 0
