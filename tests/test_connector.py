@@ -55,3 +55,61 @@ def test_mmdit_with_connector_is_timestep_dependent():
     v1, v2 = fwd(0.9), fwd(0.1)
     assert v1.shape == (1, 32, cfg.out_channels)
     assert not np.allclose(v1, v2)  # text path depends on t via the connector
+
+
+def test_txt_bias_masks_text_in_both_streams():
+    """Masked text columns must not influence image outputs in dense OR
+    rags mode — covers single blocks (txt-in-stream) + double blocks."""
+    import dataclasses
+    from regione_tpu.models.mmdit import MODE_RAGS, MODE_WRITE, init_cache
+
+    cfg = get_config("tiny")  # has 2 double + 2 single blocks
+    params = init_mmdit(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(4)
+    from regione_tpu.pipelines.base import EditPipelineBase
+    from regione_tpu.core.config import RegionEParams
+    from regione_tpu.core.gamma import gamma_for
+    pipe = EditPipelineBase(cfg, params, RegionEParams(),
+                            gamma=gamma_for("step1x-edit"))
+    grid, t_txt = 4, 8
+    s = grid * grid
+    s_kv = 2 * s
+    rope_img, rope_txt = pipe.build_rope(grid, grid, t_txt)
+    img = jnp.asarray(rng.standard_normal((1, s_kv, cfg.in_channels)), jnp.float32)
+    txt = np.asarray(rng.standard_normal((1, t_txt, cfg.txt_in_dim)), np.float32)
+    pooled = jnp.asarray(rng.standard_normal((1, cfg.pooled_dim)), jnp.float32)
+    bias = np.zeros((1, 1, 1, t_txt + s_kv), np.float32)
+    bias[..., 4:t_txt] = -1e9  # mask the last 4 text tokens
+    t = jnp.full((1,), 0.6)
+
+    def fwd(txt_arr, mode, cache=None, sel=None, rope=rope_img):
+        return mmdit_forward(params, cfg, img if mode == MODE_WRITE else img,
+                             jnp.asarray(txt_arr), t, rope, rope_txt,
+                             pooled=pooled, mode=mode, cache=cache,
+                             sel_img_ids=sel, txt_bias=jnp.asarray(bias))
+
+    cache0 = init_cache(cfg, 1, s_kv, t_txt)
+    v1, cache1 = fwd(txt, MODE_WRITE, cache=cache0)
+    txt2 = txt.copy()
+    txt2[0, 5] = 777.0  # perturb a MASKED token
+    v2, cache2 = fwd(txt2, MODE_WRITE, cache=cache0)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=2e-5, atol=2e-5)
+
+    # rags mode: gathered queries against the cache, same invariance.
+    # NOTE: masked-but-perturbed txt rows DO write different K/V rows into
+    # the single-block cache, but the bias hides those columns.
+    ids = jnp.asarray(np.array([0, 3, 7, s_kv], np.int32))  # 1 pad slot
+    from regione_tpu.models.layers import gather_rope
+    rope_act = gather_rope(rope_img, ids)
+    act = jnp.asarray(rng.standard_normal((1, 4, cfg.in_channels)), jnp.float32)
+    r1, _ = mmdit_forward(params, cfg, act, jnp.asarray(txt), t, rope_act,
+                          rope_txt, pooled=pooled, mode=MODE_RAGS,
+                          cache=cache1, sel_img_ids=ids,
+                          txt_bias=jnp.asarray(bias))
+    r2, _ = mmdit_forward(params, cfg, act, jnp.asarray(txt2), t, rope_act,
+                          rope_txt, pooled=pooled, mode=MODE_RAGS,
+                          cache=cache2, sel_img_ids=ids,
+                          txt_bias=jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(r1[:, :3]), np.asarray(r2[:, :3]),
+                               rtol=2e-5, atol=2e-5)
