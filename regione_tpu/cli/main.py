@@ -199,6 +199,8 @@ def main(argv=None):
                     help="use the scaled :dev architecture preset")
     ap.add_argument("--random_weights", action="store_true")
     ap.add_argument("--save_format", default="png", choices=["png", "webp"])
+    ap.add_argument("--print_plan", action="store_true",
+                    help="dump the static 28-step stage plan and continue")
     ap.add_argument("--enable_thinking", action="store_true",
                     help="v1.2 thinker prompt rewrite (reference CLI "
                          "hardcodes these off, src/Step1X-Edit-v1p2/"
@@ -213,6 +215,13 @@ def main(argv=None):
     from regione_tpu.utils.telemetry import enable_compile_cache
     enable_compile_cache()
     pipe = build_pipeline(args)
+    if args.print_plan:
+        from regione_tpu.core.schedule import (
+            build_sigmas, build_stage_plan, calculate_shift, describe_plan)
+        mu = calculate_shift(4096)
+        plan = build_stage_plan(pipe.re, build_sigmas(
+            pipe.re.num_inference_steps, mu=mu), pipe.gamma)
+        print(describe_plan(plan))
     if args.num_warmup_runs and args.image_path:
         img = load_image(args.image_path)
         for _ in range(args.num_warmup_runs):

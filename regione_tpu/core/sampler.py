@@ -153,6 +153,47 @@ class RegionESampler:
         )
         return lat, stats
 
+    def sample_batch(self, latents0_b: jnp.ndarray, cond_b: jnp.ndarray,
+                     ctx_b, ctx_axes, forced_masks: jnp.ndarray | None = None,
+                     ) -> tuple[jnp.ndarray, SampleStats]:
+        """Multi-image batch: vmap the two compiled segments over a request
+        axis (throughput serving; the reference is strictly one image at a
+        time).  latents0_b/cond_b: [B, 1, S, C]; ctx_b: EditInputs whose
+        per-image leaves carry a leading B axis, with `ctx_axes` the
+        matching vmap in_axes pytree (0 for per-image leaves, None for
+        shared ones — params/rope).  All images share one capacity bucket
+        (the max edited count) so a single compiled program serves the
+        whole batch.  Returns ([B, 1, S, C], stats-of-max-image)."""
+        s_noise = latents0_b.shape[2]
+        fm_axis = None if forced_masks is None else 0
+        # cache the vmapped jits (a fresh closure per call would recompile)
+        if not hasattr(self, "_batch_jits"):
+            self._batch_jits = {}
+        key = ("sts", fm_axis, jax.tree.structure((ctx_axes,)))
+        if key not in self._batch_jits:
+            self._batch_jits[key] = jax.jit(
+                jax.vmap(self._sts, in_axes=(0, 0, ctx_axes, fm_axis)))
+        sts_v = self._batch_jits[key]
+        lat_b, mask_b, cache_b = sts_v(latents0_b, cond_b, ctx_b, forced_masks)
+        counts = np.asarray(jax.device_get(jnp.sum(mask_b, axis=-1)))
+        cap = self.re.rags_capacity or pick_capacity(
+            int(counts.max()), s_noise, self.re.capacity_granularity)
+        masks_np = np.asarray(jax.device_get(mask_b))
+        ids_b = jnp.asarray(np.stack(
+            [masking.mask_to_padded_ids(m, cap) for m in masks_np]))
+        rkey = ("rest", jax.tree.structure((ctx_axes,)))
+        if rkey not in self._batch_jits:
+            self._batch_jits[rkey] = jax.jit(
+                jax.vmap(self._rest, in_axes=(0, 0, 0, 0, ctx_axes)),
+                donate_argnums=(0, 3))
+        lat_b = self._batch_jits[rkey](lat_b, ids_b, mask_b, cache_b, ctx_b)
+        stats = SampleStats(
+            edited_tokens=int(counts.max()), capacity=cap, seq_len=s_noise,
+            reuse_steps=sum(sp.reuse for sp in self.plan),
+            dense_steps=sum(sp.dense for sp in self.plan),
+            rags_steps=sum(not sp.dense for sp in self.plan))
+        return lat_b, stats
+
     def sample_dense(self, latents0: jnp.ndarray, ctx) -> jnp.ndarray:
         """Vanilla 28-step dense Euler baseline through the same model hook
         (the reference's pinned-resolution `pipeline_call` baseline,

@@ -270,6 +270,10 @@ def mmdit_forward(
     Returns (v_pred [B, T_img, out_channels], new_cache).
     In rags mode T_img == K_cap and `sel_img_ids` maps rows into the cache.
     """
+    if mode == MODE_WRITE and cache is None:
+        # write mode fills the cache from scratch; auto-init (img covers the
+        # full KV sequence in write mode)
+        cache = init_cache(cfg, img.shape[0], img.shape[1], txt.shape[1])
     x = linear(params["x_embedder"], img.astype(cfg.dtype))
     temb = mlp_embed(params["time_in"],
                      timestep_embedding(t, cfg.time_embed_dim).astype(cfg.dtype))

@@ -386,6 +386,54 @@ class EditPipelineBase:
             img = (img * 255).round().astype(np.uint8)
         return img, stats
 
+    # -- batched latent-space edit ---------------------------------------------
+
+    def edit_latents_batch(self, latents_list, ctx_list, grid_h: int,
+                           grid_w: int, forced_masks=None):
+        """Edit B same-geometry images in ONE vmapped device program
+        (throughput serving; see core.sampler.sample_batch).  All images
+        share the model params, rope tables, and one capacity bucket.
+
+        Returns (list of [1, S, C] latents, stats)."""
+        assert len(latents_list) == len(ctx_list) >= 1
+        c0 = ctx_list[0]
+        extra = dict(c0.extra)
+        extra.setdefault("params", self.params)
+        extra.setdefault("s_noise", latents_list[0].shape[1])
+
+        def stack_field(name):
+            vals = [getattr(c, name) for c in ctx_list]
+            if vals[0] is None:
+                return None, None
+            return jnp.stack([jnp.asarray(v) for v in vals]), 0
+
+        txt, _ = stack_field("txt")
+        cond, _ = stack_field("cond_latent")
+        pooled, pooled_ax = stack_field("pooled")
+        guidance, guid_ax = stack_field("guidance")
+        bias, bias_ax = stack_field("txt_bias")
+        ctx_b = EditInputs(txt=txt, cond_latent=cond, rope_img=c0.rope_img,
+                           rope_txt=c0.rope_txt, pooled=pooled,
+                           guidance=guidance, txt_bias=bias, extra=extra)
+        ctx_axes = EditInputs(
+            txt=0, cond_latent=0, rope_img=None, rope_txt=None,
+            pooled=pooled_ax, guidance=guid_ax, txt_bias=bias_ax,
+            extra=None)
+
+        t_txt = txt.shape[-2]
+        batch_cache = 2 if self.do_cfg else 1
+        sampler = self.sampler_for(grid_h, grid_w, t_txt, batch_cache,
+                                   s_cond=cond.shape[-2])
+        lat_b = jnp.stack([jnp.asarray(l) for l in latents_list])
+        s_noise = lat_b.shape[2]
+        cond_part = cond[:, :, :s_noise]
+        fm = None
+        if forced_masks is not None:
+            fm = jnp.stack([jnp.asarray(m) for m in forced_masks])
+        out_b, stats = sampler.sample_batch(lat_b, cond_part, ctx_b, ctx_axes,
+                                            forced_masks=fm)
+        return [out_b[i] for i in range(out_b.shape[0])], stats
+
     # -- top-level latent-space edit -----------------------------------------
 
     def edit_latents(

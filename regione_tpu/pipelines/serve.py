@@ -70,6 +70,41 @@ class EditService:
         img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0.0, 1.0))[0]
         return (img * 255).round().astype(np.uint8), stats
 
+    def run_batched(self, requests: Sequence[EditRequest],
+                    max_batch: int = 4) -> list[EditResult]:
+        """Group same-geometry requests and denoise each group in ONE
+        vmapped device program (core.sampler.sample_batch) — higher MXU
+        occupancy than sequential single-image runs for small models."""
+        from regione_tpu.models import vae as V
+        prepped = []
+        for req in requests:
+            (ctx, lat0, gh, gw), prep_s = self._prepare(req)
+            prepped.append((req, ctx, lat0, gh, gw, prep_s))
+        results: dict[int, EditResult] = {}
+        # group by geometry
+        groups: dict[tuple, list[int]] = {}
+        for i, (_, ctx, lat0, gh, gw, _) in enumerate(prepped):
+            groups.setdefault((gh, gw, ctx.txt.shape[-2]), []).append(i)
+        for key, idxs in groups.items():
+            gh, gw = key[0], key[1]
+            for lo in range(0, len(idxs), max_batch):
+                chunk = idxs[lo:lo + max_batch]
+                t0 = time.perf_counter()
+                outs, stats = self.pipe.edit_latents_batch(
+                    [prepped[i][2] for i in chunk],
+                    [prepped[i][1] for i in chunk], gh, gw)
+                per = (time.perf_counter() - t0) / len(chunk)
+                for i, lat in zip(chunk, outs):
+                    z = V.unpack_latents(lat.astype(jnp.float32), gh, gw)
+                    z = V.denormalize_latents(self.pipe.vae_cfg, z)
+                    img = V.decode(self.pipe.vae_params["decoder"],
+                                   self.pipe.vae_cfg, z)
+                    img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0, 1))[0]
+                    results[i] = EditResult(
+                        image=(img * 255).round().astype(np.uint8),
+                        stats=stats, latency_s=per, prep_s=prepped[i][5])
+        return [results[i] for i in range(len(requests))]
+
     def run(self, requests: Sequence[EditRequest]) -> list[EditResult]:
         results: list[EditResult] = []
         with ThreadPoolExecutor(max_workers=1) as prep_pool:

@@ -35,3 +35,24 @@ def test_edit_service_batch():
         assert r.stats is not None
     # second/third requests reuse the compiled sampler: much faster
     assert results[2].latency_s < results[0].latency_s
+
+
+def test_edit_service_batched_grouping():
+    cfg = get_config("tiny")
+    params = init_mmdit(jax.random.PRNGKey(2), cfg)
+    vae_cfg = V.VAEConfig(block_out_channels=(8, 16), latent_channels=2,
+                          norm_num_groups=4, layers_per_block=1)
+    pipe = Step1XEditPipeline(cfg, params, RegionEParams(
+        threshold=0.0, erosion_dilation=False, capacity_granularity=8))
+    pipe.attach_vae(vae_cfg, V.init_vae(jax.random.PRNGKey(3), vae_cfg))
+    pipe.attach_text_encoder(MockTextEncoder(cfg.txt_in_dim, cfg.pooled_dim,
+                                             max_length=8))
+    svc = EditService(pipe, use_regione=True)
+    rng = np.random.default_rng(1)
+    reqs = [EditRequest(
+        image=(rng.random((32, 32, 3)) * 255).astype(np.uint8),
+        prompt=f"edit {i}", width=32, height=32, seed=i) for i in range(3)]
+    results = svc.run_batched(reqs, max_batch=2)  # 2 groups: [0,1], [2]
+    assert len(results) == 3
+    for r in results:
+        assert r.image.dtype == np.uint8 and np.isfinite(r.latency_s)
