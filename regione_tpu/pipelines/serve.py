@@ -74,7 +74,12 @@ class EditService:
                     max_batch: int = 4) -> list[EditResult]:
         """Group same-geometry requests and denoise each group in ONE
         vmapped device program (core.sampler.sample_batch) — higher MXU
-        occupancy than sequential single-image runs for small models."""
+        occupancy than sequential single-image runs.
+
+        Memory note: each image carries its own KV-cache set (~2.5 GB at
+        the 1.26B/1024^2 dev scale), so max_batch is bounded by HBM on one
+        chip (dev scale: batch 2 already exceeds a 16 GB v5e — use the dp
+        mesh axis to spread request batches across chips instead)."""
         from regione_tpu.models import vae as V
         prepped = []
         for req in requests:
