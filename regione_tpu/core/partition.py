@@ -116,6 +116,12 @@ def select_edited_mask(
     Returns:
       [S] boolean mask, True = edited token.
     """
+    from regione_tpu.ops.partition_kernel import (
+        fused_partition, use_fused_partition)
+    if use_fused_partition(similarity_type):
+        return fused_partition(
+            x0_estimate[0], condition_latent[0], threshold,
+            grid_h, grid_w, erosion_dilation)
     sim = token_similarity(x0_estimate, condition_latent, similarity_type)
     mask = sim[0] <= threshold  # batch-1, as the reference asserts
     if erosion_dilation:
