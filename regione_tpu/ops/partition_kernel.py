@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x0_ref, cond_ref, out_ref, *, threshold: float, grid_h: int,
+def _kernel(thr_ref, x0_ref, cond_ref, out_ref, *, grid_h: int,
             grid_w: int, erosion_dilation: bool):
     # inputs are pre-reshaped to the token grid [gh, gw, D] by the wrapper
     # (Mosaic cannot shape-cast 2D<->1D inside a kernel)
@@ -39,7 +39,7 @@ def _kernel(x0_ref, cond_ref, out_ref, *, threshold: float, grid_h: int,
     nx = jnp.sum(x * x, axis=-1)
     nc = jnp.sum(c * c, axis=-1)
     sim = dot * jax.lax.rsqrt(nx * nc + 1e-12)  # [gh, gw]
-    mask = (sim <= threshold).astype(jnp.float32)
+    mask = (sim <= thr_ref[0, 0]).astype(jnp.float32)
 
     if erosion_dilation:
         # Morphology via wrap-around rolls + validity masking (Mosaic does
@@ -74,27 +74,29 @@ def _kernel(x0_ref, cond_ref, out_ref, *, threshold: float, grid_h: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("threshold", "grid_h", "grid_w", "erosion_dilation",
-                     "interpret"))
-def fused_partition(x0, cond, threshold: float, grid_h: int, grid_w: int,
+    static_argnames=("grid_h", "grid_w", "erosion_dilation", "interpret"))
+def fused_partition(x0, cond, threshold, grid_h: int, grid_w: int,
                     erosion_dilation: bool = True,
                     interpret: bool = False) -> jnp.ndarray:
-    """x0, cond: [S, D] (batch already squeezed) -> bool mask [S]."""
+    """x0, cond: [S, D] (batch already squeezed); threshold may be a traced
+    scalar (it enters the kernel as an SMEM operand).  -> bool mask [S]."""
     s, d = x0.shape
     assert s == grid_h * grid_w
     x0g = x0.reshape(grid_h, grid_w, d)
     condg = cond.reshape(grid_h, grid_w, d)
+    thr = jnp.asarray(threshold, jnp.float32).reshape(1, 1)
     out = pl.pallas_call(
-        functools.partial(_kernel, threshold=float(threshold), grid_h=grid_h,
-                          grid_w=grid_w, erosion_dilation=erosion_dilation),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+        functools.partial(_kernel, grid_h=grid_h, grid_w=grid_w,
+                          erosion_dilation=erosion_dilation),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid_h, grid_w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x0g, condg)
+    )(thr, x0g, condg)
     return out.reshape(-1) > 0.5
 
 
