@@ -147,9 +147,6 @@ class EditPipelineBase:
             return jnp.concatenate([x, x], axis=0)
         return x
 
-    def _model_batch(self, lat_b: jnp.ndarray) -> jnp.ndarray:
-        return self._expand_cfg(lat_b.astype(self.cfg.dtype))
-
     def _combine(self, v, sigma):
         v = v.astype(jnp.float32)
         if self.do_cfg:
