@@ -110,3 +110,87 @@ def test_flux_converter_roundtrip():
         pooled=jnp.asarray(rng.standard_normal((1, cfg.pooled_dim)), jnp.float32),
         mode=MODE_DENSE)
     assert v.shape == (1, 32, cfg.out_channels)
+
+
+def test_vae_converter_roundtrip():
+    """Synthetic diffusers AutoencoderKL state dict -> our VAE pytree:
+    every tensor mapped, transposed correctly, and the tree runs."""
+    from regione_tpu.models import vae as V
+    from regione_tpu.weights.convert import convert_vae
+
+    vae_cfg = V.VAEConfig(block_out_channels=(8, 16), latent_channels=2,
+                          norm_num_groups=4, layers_per_block=1)
+    params = V.init_vae(jax.random.PRNGKey(0), vae_cfg)
+
+    # inverse mapping: our pytree -> torch-layout flat dict
+    state = {}
+
+    def put_conv(prefix, p):
+        w = np.asarray(p["w"], np.float32)          # [kh, kw, in, out]
+        state[f"{prefix}.weight"] = w.transpose(3, 2, 0, 1).copy()
+        state[f"{prefix}.bias"] = np.asarray(p["b"], np.float32)
+
+    def put_gn(prefix, p):
+        state[f"{prefix}.weight"] = np.asarray(p["scale"], np.float32)
+        state[f"{prefix}.bias"] = np.asarray(p["bias"], np.float32)
+
+    def put_resnet(prefix, p):
+        put_gn(f"{prefix}.norm1", p["norm1"])
+        put_conv(f"{prefix}.conv1", p["conv1"])
+        put_gn(f"{prefix}.norm2", p["norm2"])
+        put_conv(f"{prefix}.conv2", p["conv2"])
+        if "shortcut" in p:
+            put_conv(f"{prefix}.conv_shortcut", p["shortcut"])
+
+    def put_attn(prefix, p):
+        put_gn(f"{prefix}.group_norm", p["norm"])
+        for name, key in (("to_q", "q"), ("to_k", "k"), ("to_v", "v")):
+            state[f"{prefix}.{name}.weight"] = np.asarray(
+                p[key]["w"], np.float32).T.copy()
+            state[f"{prefix}.{name}.bias"] = np.asarray(p[key]["b"], np.float32)
+        state[f"{prefix}.to_out.0.weight"] = np.asarray(
+            p["out"]["w"], np.float32).T.copy()
+        state[f"{prefix}.to_out.0.bias"] = np.asarray(p["out"]["b"], np.float32)
+
+    enc, dec = params["encoder"], params["decoder"]
+    put_conv("encoder.conv_in", enc["conv_in"])
+    put_gn("encoder.conv_norm_out", enc["norm_out"])
+    put_conv("encoder.conv_out", enc["conv_out"])
+    put_resnet("encoder.mid_block.resnets.0", enc["mid"]["res1"])
+    put_attn("encoder.mid_block.attentions.0", enc["mid"]["attn"])
+    put_resnet("encoder.mid_block.resnets.1", enc["mid"]["res2"])
+    for i, blk in enumerate(enc["down"]):
+        for j, rp in enumerate(blk["resnets"]):
+            put_resnet(f"encoder.down_blocks.{i}.resnets.{j}", rp)
+        if "downsample" in blk:
+            put_conv(f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                     blk["downsample"])
+    put_conv("decoder.conv_in", dec["conv_in"])
+    put_gn("decoder.conv_norm_out", dec["norm_out"])
+    put_conv("decoder.conv_out", dec["conv_out"])
+    put_resnet("decoder.mid_block.resnets.0", dec["mid"]["res1"])
+    put_attn("decoder.mid_block.attentions.0", dec["mid"]["attn"])
+    put_resnet("decoder.mid_block.resnets.1", dec["mid"]["res2"])
+    for i, blk in enumerate(dec["up"]):
+        for j, rp in enumerate(blk["resnets"]):
+            put_resnet(f"decoder.up_blocks.{i}.resnets.{j}", rp)
+        if "upsample" in blk:
+            put_conv(f"decoder.up_blocks.{i}.upsamplers.0.conv",
+                     blk["upsample"])
+
+    back = convert_vae(state, vae_cfg)
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=lambda t: str(t[0])),
+                                  sorted(flat_b, key=lambda t: str(t[0]))):
+        np.testing.assert_allclose(np.asarray(va, np.float32), vb,
+                                   rtol=1e-6, atol=1e-6, err_msg=str(pa))
+
+    # and it runs
+    img = jnp.asarray(np.random.default_rng(1).standard_normal((1, 16, 16, 3)),
+                      jnp.float32)
+    back_j = jax.tree.map(jnp.asarray, back)
+    z = V.encode(back_j["encoder"], vae_cfg, img)
+    out = V.decode(back_j["decoder"], vae_cfg, z)
+    assert out.shape == (1, 16, 16, 3)
