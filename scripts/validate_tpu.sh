@@ -9,7 +9,8 @@ python bench.py
 
 echo "=== attention kernel vs XLA (hardware numerics) ==="
 python - <<'EOF'
-import numpy as np, jax.numpy as jnp, jax
+import os, numpy as np, jax.numpy as jnp, jax
+os.environ["REGIONE_TPU_FLASH"] = "0"  # force the XLA reference path in sdpa
 from regione_tpu.models.layers import sdpa
 from regione_tpu.ops.flash_attention import flash_attention
 def rand(s, seed): return jnp.asarray(np.random.default_rng(seed).standard_normal(s), jnp.bfloat16)
