@@ -8,10 +8,17 @@ accelerated output against the dense output (algorithmic fidelity).
 Workload: Step1X-Edit-topology backbone (dev scale so it fits one v5e
 chip alongside its KV caches), 1024x1024-equivalent token grid (64x64 =
 4096 noise tokens + 4096 condition tokens + text), batch-concat true CFG —
-the same shapes the reference's headline row uses.  The edited region is
-pinned to a quarter of the token grid (the workload regime RegionE's
-headline numbers target); the adaptive partition itself is correctness-
-tested in tests/.
+the same shapes the reference's headline row uses.
+
+The HEADLINE number runs the full adaptive path: cosine-similarity
+partition + morphology + capacity pick on-device, end to end.  Because the
+backbone has random (untrained) weights, a raw random condition latent
+would mark every token edited; instead the bench synthesizes a *structured*
+condition latent the way a real edit presents one — identical to the
+model's own one-step x0 estimate everywhere except a target region
+(~25% of the grid) that gets replaced with noise.  A short fixed-point
+probe (re-estimating x0 under the updated condition) makes the partition
+self-consistent.  A pinned-mask run is reported as the `forced_*` ablation.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 vs_baseline is speedup / 2.572 (reference Step1X-Edit headline, README.md:23).
@@ -54,6 +61,7 @@ def main():
         # concrete scalar readback guarantees device completion
         return float(jnp.sum(x))
     from regione_tpu.core.config import RegionEParams
+    from regione_tpu.core.partition import select_edited_mask
     from regione_tpu.models.mmdit import init_mmdit_jit as init_mmdit, param_count
     from regione_tpu.models.presets import get_config
     from regione_tpu.pipelines.base import EditInputs
@@ -75,25 +83,69 @@ def main():
     rope_img, rope_txt = pipe.build_rope(GRID, GRID, T_TXT)
     lat0 = jnp.asarray(rng.standard_normal((1, s, cfg.in_channels)), jnp.float32)
 
+    # one fixed text/pooled embedding set for every run so the probe and the
+    # timed runs see identical conditioning
+    _txt = jnp.asarray(rng.standard_normal((2, T_TXT, cfg.txt_in_dim)), cfg.dtype)
+    _pooled = jnp.asarray(rng.standard_normal((2, cfg.pooled_dim)), cfg.dtype)
+
     def make_ctx(cond):
         return EditInputs(
-            txt=jnp.asarray(rng.standard_normal((2, T_TXT, cfg.txt_in_dim)), cfg.dtype),
-            cond_latent=jnp.asarray(cond, jnp.float32),
-            rope_img=rope_img, rope_txt=rope_txt,
-            pooled=jnp.asarray(rng.standard_normal((2, cfg.pooled_dim)), cfg.dtype),
+            txt=_txt, cond_latent=jnp.asarray(cond, jnp.float32),
+            rope_img=rope_img, rope_txt=rope_txt, pooled=_pooled,
         )
 
-    # ---- controlled ~25%-edited workload -----------------------------------
-    # With random (untrained) weights the cosine partition against a
-    # synthetic reference latent is arbitrary, so the benchmark pins the
-    # edited region to the top-left quarter of the token grid — the
-    # workload regime RegionE's headline numbers target.  The adaptive
-    # partition path itself is correctness-tested in tests/.
-    q = GRID // 2
+    # ---- structured condition latent for the adaptive partition ------------
+    # Target edited region: a block whose 5x5 dilation covers ~25% of the
+    # 64x64 grid (28+4 = 32 -> 1024 of 4096 tokens).
+    B0, B1 = 4, 32  # block rows/cols [B0, B1): 28x28 pre-morphology
     block = np.zeros((GRID, GRID), bool)
-    block[:q, :q] = True
-    forced_mask = jnp.asarray(block.reshape(-1))
-    ctx = make_ctx(rng.standard_normal((1, s, cfg.in_channels)))
+    block[B0:B1, B0:B1] = True
+    target = block.reshape(-1)
+
+    sampler = pipe.sampler_for(GRID, GRID, T_TXT, batch_cache=2)
+    plan = sampler.plan
+    warm = plan[: re.warmup_step - 1]
+    part = plan[re.warmup_step - 1]
+
+    @jax.jit
+    def x0_probe(lat, ctx):
+        """x0 estimate at the partition step — same math as sampler._sts."""
+        lat = lat.astype(jnp.float32)
+        sig = jnp.array([sp.sigma for sp in warm], jnp.float32)
+        dts = jnp.array([sp.dt for sp in warm], jnp.float32)
+
+        def body(l, xs):
+            sg, dt = xs
+            v, _ = pipe.dense_forward(l, sg, None, ctx, False)
+            return l + dt * v.astype(jnp.float32), None
+
+        lat, _ = jax.lax.scan(body, lat, (sig, dts))
+        v, _ = pipe.dense_forward(lat, jnp.float32(part.sigma), None, ctx, False)
+        return lat + part.dt_final * v.astype(jnp.float32)
+
+    def ctx_extra(ctx):
+        import dataclasses
+        return dataclasses.replace(
+            ctx, extra={"params": params, "s_noise": s})
+
+    log("probing x0 for a structured condition latent...")
+    noise_block = rng.standard_normal((int(target.sum()), cfg.in_channels))
+    cond = rng.standard_normal((1, s, cfg.in_channels))
+    frac = 1.0
+    for it in range(3):
+        t0 = time.perf_counter()
+        x0 = np.asarray(x0_probe(lat0, ctx_extra(make_ctx(cond))))
+        cond = x0.copy()
+        cond[0, target] = noise_block
+        mask_prev = np.asarray(select_edited_mask(
+            jnp.asarray(x0), jnp.asarray(cond, jnp.float32), re.threshold,
+            grid_h=GRID, grid_w=GRID, erosion_dilation=re.erosion_dilation))
+        frac = float(mask_prev.mean())
+        log(f"probe iter {it}: edited frac {frac:.3f} "
+            f"({time.perf_counter()-t0:.1f}s)")
+        if 0.18 <= frac <= 0.35 and it >= 1:
+            break
+    ctx = make_ctx(cond)
 
     # ---- dense baseline ---------------------------------------------------
     log("compiling dense baseline...")
@@ -109,26 +161,43 @@ def main():
         times.append(time.perf_counter() - t0)
     t_dense = min(times)
 
-    # ---- RegionE ------------------------------------------------------------
-    log("compiling RegionE path...")
+    # ---- RegionE, adaptive partition end-to-end (HEADLINE) -----------------
+    log("compiling RegionE adaptive path...")
     t0 = time.perf_counter()
-    out_re, stats = pipe.edit_latents(lat0, ctx, GRID, GRID,
-                                      forced_mask=forced_mask)
+    out_re, stats = pipe.edit_latents(lat0, ctx, GRID, GRID)
     sync(out_re)
-    log(f"regione compile+run {time.perf_counter()-t0:.1f}s")
+    log(f"regione adaptive compile+run {time.perf_counter()-t0:.1f}s "
+        f"(edited {stats.edited_tokens}, cap {stats.capacity})")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out_re, stats = pipe.edit_latents(lat0, ctx, GRID, GRID,
-                                          forced_mask=forced_mask)
+        out_re, stats = pipe.edit_latents(lat0, ctx, GRID, GRID)
         sync(out_re)
         times.append(time.perf_counter() - t0)
     t_re = min(times)
 
+    # ---- ablation: pinned quarter mask (round-1 headline workload) ---------
+    q = GRID // 2
+    fblock = np.zeros((GRID, GRID), bool)
+    fblock[:q, :q] = True
+    forced_mask = jnp.asarray(fblock.reshape(-1))
+    out_f, fstats = pipe.edit_latents(lat0, ctx, GRID, GRID,
+                                      forced_mask=forced_mask)
+    sync(out_f)
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out_f, fstats = pipe.edit_latents(lat0, ctx, GRID, GRID,
+                                          forced_mask=forced_mask)
+        sync(out_f)
+        times.append(time.perf_counter() - t0)
+    t_forced = min(times)
+
     speedup = t_dense / t_re
     fidelity = psnr(np.asarray(out_dense), np.asarray(out_re))
     print(json.dumps({
-        "metric": "end-to-end edit speedup vs dense 28-step denoise",
+        "metric": "end-to-end edit speedup vs dense 28-step denoise "
+                  "(adaptive partition)",
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / 2.572, 4),
@@ -137,8 +206,12 @@ def main():
         "psnr_latent_vs_dense": round(fidelity, 2),
         "edited_tokens": stats.edited_tokens,
         "capacity": stats.capacity,
+        "edited_frac": round(stats.edited_tokens / s, 4),
         "seq_len": stats.seq_len,
         "reuse_steps": stats.reuse_steps,
+        "forced_mask_s": round(t_forced, 4),
+        "forced_mask_speedup": round(t_dense / t_forced, 4),
+        "forced_edited_tokens": fstats.edited_tokens,
         "params": param_count(params),
         "model": preset,
         "device": str(jax.devices()[0]),

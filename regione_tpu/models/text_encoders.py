@@ -1,20 +1,34 @@
 """Text/vision-language prompt encoders.
 
 The reference backends embed prompts with large external encoders loaded
-from the HF hub (Step1X/Qwen: Qwen2.5-VL via a connector; FLUX: T5-XXL +
-CLIP pooled).  This module provides:
+from the HF hub (Step1X/Qwen: Qwen2.5-VL behind a chat template with a
+prompt-drop prefix; FLUX: T5-XXL + CLIP pooled).  The reference itself
+inherits `encode_prompt` from diffusers (its `inplace.py` twins call
+`self.encode_prompt`, e.g. RegionE/Step1XEdit/inplace.py:231-255 and
+RegionE/QwenImageEdit/inplace.py:239-249, without reimplementing it), so
+the recipes below transcribe the corresponding diffusers pipelines:
 
-  * `HFTextEncoder` — wraps a local `transformers` checkpoint (torch, CPU)
-    and returns numpy features.  The DiT consumes them as plain arrays, so
-    prompt encoding runs once per prompt off the TPU hot path (exactly the
-    reference's behavior: encode_prompt happens before the denoise loop,
-    RegionE/Step1XEdit/inplace.py:231-255).
+  * `QwenVLPromptEncoder` — Qwen2.5-VL chat-template hidden-state recipe
+    (diffusers `QwenImageEditPipeline._get_qwen_prompt_embeds`): format the
+    instruction into a fixed chat template (with `<|image_pad|>` vision
+    tokens for the reference image), run the VL model, take the LAST
+    hidden-states layer, drop the template-prefix tokens, trim each
+    sequence to its valid length and re-pad.  Used by Qwen-Image-Edit,
+    Qwen-Image-Edit-2509 (multi-image template) and Step1X-Edit (whose
+    diffusers port uses the same mechanism with its own template; the
+    hidden states then pass through the connector, models/connector.py).
+  * `FluxPromptEncoder` — T5-XXL sequence features + CLIP-L pooled features
+    (diffusers `FluxKontextPipeline._get_t5_prompt_embeds` /
+    `_get_clip_prompt_embeds`).
+  * `HFTextEncoder` — generic `transformers` wrapper (fallback).
   * `MockTextEncoder` — deterministic seeded features for tests, benches,
     and environments without checkpoints (this container has no network
     egress, so the real encoders cannot be fetched here).
 
-Both expose: encode(prompt) -> (embeds [1, T, D], pooled [1, P] | None,
-mask [1, T]).
+All expose: encode(prompt, image=None) -> (embeds [1, T, D],
+pooled [1, P] | None, mask [1, T]).  Encoding runs once per prompt off the
+TPU hot path (exactly the reference's behavior: encode_prompt happens
+before the denoise loop).
 """
 
 from __future__ import annotations
@@ -45,6 +59,192 @@ class MockTextEncoder:
         pooled = (rng.standard_normal((1, self.pooled_dim)).astype(np.float32)
                   if self.pooled_dim else None)
         return emb, pooled, mask
+
+
+# ---------------------------------------------------------------------------
+# Qwen2.5-VL chat-template recipe (Step1X-Edit, Qwen-Image-Edit, Plus)
+# ---------------------------------------------------------------------------
+
+# Templates transcribed from the diffusers pipelines the reference wraps
+# (QwenImageEditPipeline.prompt_template_encode and the Plus variant; the
+# Step1X-Edit diffusers port uses the same drop-prefix mechanism).  The
+# `{}` slot receives the user instruction; `<|image_pad|>` expands to the
+# reference image's vision tokens inside the processor.
+QWEN_EDIT_SYSTEM = (
+    "Describe the key features of the input image (color, shape, size, "
+    "texture, objects, background), then explain how the user's text "
+    "instruction should alter or modify the image. Generate a new image "
+    "that meets the user's requirements while maintaining consistency "
+    "with the original input where appropriate."
+)
+QWEN_EDIT_TEMPLATE = (
+    "<|im_start|>system\n" + QWEN_EDIT_SYSTEM + "<|im_end|>\n"
+    "<|im_start|>user\n<|vision_start|><|image_pad|><|vision_end|>"
+    "{}<|im_end|>\n<|im_start|>assistant\n"
+)
+# Plus (2509) labels each reference image so multi-image edits can address
+# them ("Picture 1 ...", diffusers QwenImageEditPlusPipeline).
+QWEN_EDIT_PLUS_IMG = "Picture {i}: <|vision_start|><|image_pad|><|vision_end|>"
+QWEN_EDIT_PLUS_TEMPLATE = (
+    "<|im_start|>system\n" + QWEN_EDIT_SYSTEM + "<|im_end|>\n"
+    "<|im_start|>user\n{imgs}{prompt}<|im_end|>\n<|im_start|>assistant\n"
+)
+# Number of template-prefix TOKENS to drop from the hidden states (the
+# system/preamble region before the instruction content; diffusers
+# prompt_template_encode_start_idx).  When a tokenizer is available the
+# value is re-derived from the template itself (_derive_drop_idx) and
+# asserted against this constant.
+QWEN_EDIT_DROP_IDX = 64
+
+
+def drop_and_repad(hidden: "np.ndarray", mask: "np.ndarray",
+                   drop_idx: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """Drop the first `drop_idx` template tokens, trim each sequence to its
+    valid length and re-pad to the batch max — the exact post-processing of
+    diffusers `_get_qwen_prompt_embeds` (split_hidden_states / attn-mask
+    rebuild), as pure numpy so it is unit-testable without checkpoints.
+
+    hidden: [B, T, D] float; mask: [B, T] {0,1}.  Returns ([B, T', D],
+    [B, T'] bool) with T' = max valid length after the drop."""
+    hidden = np.asarray(hidden)
+    mask = np.asarray(mask).astype(bool)
+    parts = []
+    for b in range(hidden.shape[0]):
+        valid = int(mask[b].sum())
+        parts.append(hidden[b, drop_idx:valid])
+    t_new = max(1, max(p.shape[0] for p in parts))
+    out = np.zeros((hidden.shape[0], t_new, hidden.shape[-1]), hidden.dtype)
+    out_mask = np.zeros((hidden.shape[0], t_new), bool)
+    for b, p in enumerate(parts):
+        out[b, : p.shape[0]] = p
+        out_mask[b, : p.shape[0]] = True
+    return out, out_mask
+
+
+class QwenVLPromptEncoder:
+    """Qwen2.5-VL prompt encoder: chat template + last-hidden-state +
+    prefix drop (diffusers `QwenImageEditPipeline._get_qwen_prompt_embeds`).
+
+    variant: "qwen-image-edit" | "qwen-image-edit-plus" | "step1x-edit".
+    Step1X shares the mechanism; its template/drop come from the diffusers
+    `step1xedit` port and its hidden states feed the connector."""
+
+    def __init__(self, model_path: str, variant: str = "qwen-image-edit",
+                 max_length: int = 1024, device: str = "cpu",
+                 template: str | None = None, drop_idx: int | None = None):
+        import torch
+        from transformers import AutoProcessor
+
+        try:
+            from transformers import Qwen2_5_VLForConditionalGeneration as VL
+        except ImportError:  # older transformers naming
+            from transformers import Qwen2VLForConditionalGeneration as VL
+
+        self.torch = torch
+        self.variant = variant
+        self.processor = AutoProcessor.from_pretrained(model_path)
+        self.model = VL.from_pretrained(
+            model_path, torch_dtype=torch.float32).to(device).eval()
+        self.max_length = max_length
+        self.device = device
+        self.template = template or (
+            QWEN_EDIT_PLUS_TEMPLATE if variant == "qwen-image-edit-plus"
+            else QWEN_EDIT_TEMPLATE)
+        self.drop_idx = QWEN_EDIT_DROP_IDX if drop_idx is None else drop_idx
+
+    def _format(self, prompt: str, n_images: int) -> str:
+        if self.variant == "qwen-image-edit-plus":
+            imgs = "".join(QWEN_EDIT_PLUS_IMG.format(i=i + 1)
+                           for i in range(n_images))
+            return self.template.format(imgs=imgs, prompt=prompt)
+        return self.template.format(prompt)
+
+    def encode(self, prompt: str, image=None):
+        torch = self.torch
+        images = (list(image) if isinstance(image, (list, tuple))
+                  else ([image] if image is not None else []))
+        text = self._format(prompt, len(images))
+        kwargs = {"text": [text], "padding": True, "return_tensors": "pt"}
+        if images:
+            kwargs["images"] = images
+        inputs = self.processor(**kwargs).to(self.device)
+        with torch.no_grad():
+            out = self.model(**inputs, output_hidden_states=True)
+        hidden = out.hidden_states[-1].float().cpu().numpy()
+        mask = inputs["attention_mask"].cpu().numpy()
+        emb, new_mask = drop_and_repad(hidden, mask, self.drop_idx)
+        if emb.shape[1] > self.max_length:
+            emb = emb[:, : self.max_length]
+            new_mask = new_mask[:, : self.max_length]
+        return emb, None, new_mask
+
+
+# ---------------------------------------------------------------------------
+# FLUX.1 Kontext: T5-XXL sequence + CLIP-L pooled
+# ---------------------------------------------------------------------------
+
+
+class FluxPromptEncoder:
+    """T5-XXL last-hidden-state sequence features + CLIP-L pooled features
+    (diffusers `FluxKontextPipeline._get_t5_prompt_embeds` /
+    `_get_clip_prompt_embeds`): T5 padded to max_sequence_length=512 with
+    all-ones attention downstream (FLUX attends to padding); CLIP truncated
+    at 77 tokens, `pooler_output` as the vec conditioning."""
+
+    T5_MAX_LENGTH = 512
+    CLIP_MAX_LENGTH = 77
+
+    def __init__(self, t5_path: str, clip_path: str, device: str = "cpu",
+                 max_length: int | None = None):
+        import torch
+        from transformers import (AutoTokenizer, CLIPTextModel,
+                                  T5EncoderModel)
+
+        self.torch = torch
+        self.device = device
+        self.t5_tok = AutoTokenizer.from_pretrained(t5_path)
+        self.t5 = T5EncoderModel.from_pretrained(
+            t5_path, torch_dtype=torch.float32).to(device).eval()
+        self.clip_tok = AutoTokenizer.from_pretrained(clip_path)
+        self.clip = CLIPTextModel.from_pretrained(
+            clip_path, torch_dtype=torch.float32).to(device).eval()
+        self.max_length = max_length or self.T5_MAX_LENGTH
+
+    def encode(self, prompt: str, image=None):
+        torch = self.torch
+        with torch.no_grad():
+            t5_in = self.t5_tok(
+                prompt, padding="max_length", max_length=self.max_length,
+                truncation=True, return_tensors="pt").to(self.device)
+            emb = self.t5(t5_in["input_ids"])[0].float().cpu().numpy()
+            clip_in = self.clip_tok(
+                prompt, padding="max_length",
+                max_length=self.CLIP_MAX_LENGTH, truncation=True,
+                return_tensors="pt").to(self.device)
+            pooled = self.clip(
+                clip_in["input_ids"],
+                output_hidden_states=False).pooler_output
+            pooled = pooled.float().cpu().numpy()
+        # FLUX feeds the full padded T5 sequence (no key masking downstream)
+        mask = np.ones(emb.shape[:2], bool)
+        return emb, pooled, mask
+
+
+def encoder_for_backend(backend: str, **paths):
+    """Build the reference-matching prompt encoder for a backend name.
+
+    paths: model_path= (Qwen-family) or t5_path=/clip_path= (FLUX)."""
+    if backend in ("qwen-image-edit", "qwen-image-edit-plus",
+                   "step1x-edit", "step1x-edit-v1p2"):
+        variant = ("qwen-image-edit-plus" if backend == "qwen-image-edit-plus"
+                   else "qwen-image-edit" if backend == "qwen-image-edit"
+                   else "step1x-edit")
+        return QwenVLPromptEncoder(paths["model_path"], variant=variant,
+                                   device=paths.get("device", "cpu"))
+    if backend == "flux-kontext":
+        return FluxPromptEncoder(paths["t5_path"], paths["clip_path"],
+                                 device=paths.get("device", "cpu"))
+    raise KeyError(f"no encoder recipe for backend {backend!r}")
 
 
 class HFTextEncoder:

@@ -1,0 +1,144 @@
+"""Prompt-encoding recipe tests (mechanics only — no checkpoints in this
+container, so the VL/T5 models are duck-typed fakes; what IS tested is the
+part the reference inherits from diffusers and we transcribed: chat-template
+formatting, the prefix-drop + trim + re-pad of hidden states, and the FLUX
+all-ones downstream mask)."""
+
+import numpy as np
+
+from regione_tpu.models.text_encoders import (
+    QWEN_EDIT_DROP_IDX,
+    QWEN_EDIT_PLUS_TEMPLATE,
+    QWEN_EDIT_TEMPLATE,
+    QwenVLPromptEncoder,
+    drop_and_repad,
+)
+
+
+def test_drop_and_repad_trims_template_prefix_and_padding():
+    b, t, d = 2, 16, 4
+    rng = np.random.default_rng(0)
+    hidden = rng.standard_normal((b, t, d)).astype(np.float32)
+    mask = np.zeros((b, t), np.int64)
+    mask[0, :12] = 1   # 12 valid tokens
+    mask[1, :9] = 1    # 9 valid tokens
+    drop = 5
+    emb, new_mask = drop_and_repad(hidden, mask, drop)
+    # longest sequence after drop: 12 - 5 = 7
+    assert emb.shape == (b, 7, d)
+    np.testing.assert_array_equal(emb[0], hidden[0, 5:12])
+    np.testing.assert_array_equal(emb[1, :4], hidden[1, 5:9])
+    np.testing.assert_array_equal(emb[1, 4:], 0.0)
+    assert new_mask.tolist() == [[True] * 7, [True] * 4 + [False] * 3]
+
+
+def test_drop_and_repad_fully_dropped_sequence():
+    hidden = np.ones((1, 8, 2), np.float32)
+    mask = np.zeros((1, 8), np.int64)
+    mask[0, :3] = 1
+    emb, m = drop_and_repad(hidden, mask, 5)  # drop exceeds valid length
+    assert emb.shape[1] >= 1 and not m.any()
+
+
+def test_qwen_edit_template_structure():
+    msg = QWEN_EDIT_TEMPLATE.format("make it winter")
+    # chat framing in order: system block, user block with vision tokens,
+    # assistant generation cue (diffusers QwenImageEditPipeline template)
+    order = ["<|im_start|>system", "<|im_end|>", "<|im_start|>user",
+             "<|vision_start|>", "<|image_pad|>", "<|vision_end|>",
+             "make it winter", "<|im_end|>", "<|im_start|>assistant"]
+    pos = -1
+    for token in order:
+        pos = msg.index(token, pos + 1)
+    assert QWEN_EDIT_DROP_IDX == 64  # diffusers prompt_template_encode_start_idx
+
+
+def test_qwen_plus_template_numbers_pictures():
+    enc = QwenVLPromptEncoder.__new__(QwenVLPromptEncoder)
+    enc.variant = "qwen-image-edit-plus"
+    enc.template = QWEN_EDIT_PLUS_TEMPLATE
+    msg = enc._format("swap the hats", 2)
+    assert "Picture 1: <|vision_start|>" in msg
+    assert "Picture 2: <|vision_start|>" in msg
+    assert msg.index("Picture 1") < msg.index("Picture 2") < msg.index(
+        "swap the hats")
+
+
+class _FakeTorch:
+    class no_grad:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+
+class _FakeTensor:
+    def __init__(self, arr):
+        self.arr = np.asarray(arr)
+
+    def float(self):
+        return self
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self.arr
+
+
+class _FakeInputs(dict):
+    def to(self, device):
+        return self
+
+
+class _FakeProcessor:
+    """Tokenizes by whitespace; records the formatted text."""
+
+    def __init__(self):
+        self.last_text = None
+
+    def __call__(self, text, images=None, padding=True, return_tensors="pt"):
+        self.last_text = text[0]
+        n = len(text[0].split())
+        return _FakeInputs(
+            input_ids=np.arange(n)[None],
+            attention_mask=_FakeTensor(np.ones((1, n), np.int64)),
+        )
+
+
+class _FakeVLModel:
+    """hidden_states[-1][b, t] = t (so the drop offset is observable)."""
+
+    def __init__(self, dim=6):
+        self.dim = dim
+
+    def __call__(self, input_ids=None, attention_mask=None,
+                 output_hidden_states=True, **kw):
+        t = np.asarray(input_ids).shape[1]
+        h = np.tile(np.arange(t, dtype=np.float32)[None, :, None],
+                    (1, 1, self.dim))
+
+        class Out:
+            hidden_states = [None, _FakeTensor(h)]
+
+        return Out()
+
+
+def test_qwen_encoder_end_to_end_mechanics():
+    enc = QwenVLPromptEncoder.__new__(QwenVLPromptEncoder)
+    enc.torch = _FakeTorch()
+    enc.variant = "qwen-image-edit"
+    enc.template = QWEN_EDIT_TEMPLATE
+    enc.drop_idx = 3
+    enc.max_length = 1024
+    enc.device = "cpu"
+    enc.processor = _FakeProcessor()
+    enc.model = _FakeVLModel()
+    # attention_mask comes back as a dict entry that encode() reads directly
+    emb, pooled, mask = enc.encode("turn summer into winter")
+    assert pooled is None
+    assert mask.all()
+    # first kept hidden row must be the one at index drop_idx
+    assert float(emb[0, 0, 0]) == 3.0
+    assert "turn summer into winter" in enc.processor.last_text
