@@ -141,6 +141,18 @@ def decode(params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def vae_module(cfg):
+    """Dispatch to the VAE family implementing `cfg` (AutoencoderKL here,
+    Wan in models.vae_wan) — each exposes encode/decode/normalize_latents/
+    denormalize_latents with identical signatures."""
+    import sys
+
+    from regione_tpu.models import vae_wan
+    if isinstance(cfg, vae_wan.WanVAEConfig):
+        return vae_wan
+    return sys.modules[__name__]
+
+
 def normalize_latents(cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
     """encoder output -> DiT latent space (diffusers convention)."""
     return (z - cfg.shift_factor) * cfg.scaling_factor

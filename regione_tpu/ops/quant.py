@@ -38,10 +38,22 @@ def dequantize_weight(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (p["w_q"].astype(jnp.float32) * p["scale"]).astype(dtype)
 
 
-def quantize_params(params, skip_substrings=_SKIP_SUBSTRINGS):
+def quantize_params(params, skip_substrings=_SKIP_SUBSTRINGS,
+                    quantize_mods: bool = False):
     """Walk a model pytree; replace every eligible linear {"w","b"} dict
     with its int8 form.  Stacked [L, in, out] weights quantize per (layer,
-    out-channel)."""
+    out-channel).
+
+    quantize_mods=True also quantizes the per-block modulation projections
+    (h -> 6h/3h) — the largest bf16 leaves left after default quantization
+    (~2.1 GiB on the 12B Step1X) — while keeping the final output
+    modulation full precision.  Needed to fit the big backbones on a
+    single 16 GB chip; PSNR impact is validated on hardware."""
+    if quantize_mods:
+        skip_substrings = tuple(
+            s for s in skip_substrings if s != "mod")
+        if "final_mod" not in skip_substrings:
+            skip_substrings += ("final_mod",)
 
     def walk(tree, path=""):
         if isinstance(tree, dict):

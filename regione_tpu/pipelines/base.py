@@ -282,10 +282,11 @@ class EditPipelineBase:
         """reference encode_image (inplace.py:188-194): VAE-encode the
         reference image into condition latent tokens [1, S, 4*C_lat]."""
         from regione_tpu.models import vae as V
+        vm = V.vae_module(self.vae_cfg)   # AutoencoderKL or Wan family
         arr = self._to_array(image)
         arr = self._resize(arr, width, height)
-        z = V.encode(self.vae_params["encoder"], self.vae_cfg, arr[None])
-        z = V.normalize_latents(self.vae_cfg, z)
+        z = vm.encode(self.vae_params["encoder"], self.vae_cfg, arr[None])
+        z = vm.normalize_latents(self.vae_cfg, z)
         return V.pack_latents(z)
 
     def prepare_inputs(self, image, prompt: str, negative_prompt: str = "",
@@ -375,9 +376,10 @@ class EditPipelineBase:
         lat0 = jax.random.normal(
             key, (1, grid_h * grid_w, self.cfg.in_channels), jnp.float32)
         lat, stats = self.edit_latents(lat0, ctx, grid_h, grid_w)
+        vm = V.vae_module(self.vae_cfg)
         z = V.unpack_latents(lat.astype(jnp.float32), grid_h, grid_w)
-        z = V.denormalize_latents(self.vae_cfg, z)
-        img = V.decode(self.vae_params["decoder"], self.vae_cfg, z)
+        z = vm.denormalize_latents(self.vae_cfg, z)
+        img = vm.decode(self.vae_params["decoder"], self.vae_cfg, z)
         img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0.0, 1.0))[0]
         if output_type == "uint8":
             img = (img * 255).round().astype(np.uint8)

@@ -237,6 +237,137 @@ def convert_vae(state: dict[str, np.ndarray], vae_cfg, dtype=np.float32) -> dict
     return {"encoder": enc, "decoder": dec}
 
 
+class TrackingState(dict):
+    """State-dict wrapper recording which source tensors were consumed, so
+    conversions can assert zero unmapped tensors (a silent leftover tensor
+    means a wrong or incomplete mapping)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.consumed: set[str] = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+    def unconsumed(self, ignore_patterns: tuple[str, ...] = ()) -> list[str]:
+        left = [k for k in self.keys() if k not in self.consumed]
+        return [k for k in left
+                if not any(re.search(p, k) for p in ignore_patterns)]
+
+
+def _fold_causal3d(w: np.ndarray) -> np.ndarray:
+    """WanCausalConv3d weight [out, in, kt, kh, kw] -> single-frame 2-D
+    kernel [kh, kw, in, out].
+
+    The causal conv pads the time axis with (kt-1) zeros IN FRONT
+    (diffusers WanCausalConv3d._padding), so for a 1-frame input every tap
+    except the LAST multiplies zero padding: the effective 2-D kernel is
+    w[..., kt-1, :, :].  Proven vs a causal-conv3d oracle in
+    tests/test_wan_vae.py."""
+    assert w.ndim == 5, w.shape
+    return np.ascontiguousarray(w[:, :, -1].transpose(2, 3, 1, 0))
+
+
+def convert_wan_vae(state: dict[str, np.ndarray], cfg,
+                    dtype=np.float32) -> dict:
+    """diffusers AutoencoderKLWan state dict -> models.vae_wan pytree
+    (single-frame 2-D fold; time_conv resample weights are intentionally
+    unused — they only act on multi-frame video inputs).
+
+    Block indices inside encoder.down_blocks / decoder.up_blocks are a
+    single flattened ModuleList mixing residual and resample blocks; the
+    walker classifies each index by its key signature instead of
+    hard-coding the layout."""
+    if not isinstance(state, TrackingState):
+        state = TrackingState(state)
+
+    def conv(prefix):
+        w = np.asarray(state[f"{prefix}.weight"], dtype)
+        if w.ndim == 5:
+            w = _fold_causal3d(w)
+        elif w.ndim == 4:  # plain Conv2d (resample convs)
+            w = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+        return {"w": w, "b": np.asarray(state[f"{prefix}.bias"], dtype)}
+
+    def rms(prefix):
+        g = np.asarray(state[f"{prefix}.gamma"], dtype).reshape(-1)
+        p = {"gamma": g}
+        if f"{prefix}.bias" in state:
+            p["bias"] = np.asarray(state[f"{prefix}.bias"], dtype).reshape(-1)
+        return p
+
+    def lin_from_conv(prefix):
+        """1x1 Conv2d -> linear {"w": [in, out], "b"}."""
+        w = np.asarray(state[f"{prefix}.weight"], dtype)
+        w = w.reshape(w.shape[0], w.shape[1])  # [out, in]
+        return {"w": np.ascontiguousarray(w.T),
+                "b": np.asarray(state[f"{prefix}.bias"], dtype)}
+
+    def resnet(prefix):
+        p = {"norm1": rms(f"{prefix}.norm1"), "conv1": conv(f"{prefix}.conv1"),
+             "norm2": rms(f"{prefix}.norm2"), "conv2": conv(f"{prefix}.conv2")}
+        if f"{prefix}.conv_shortcut.weight" in state:
+            p["shortcut"] = conv(f"{prefix}.conv_shortcut")
+        return p
+
+    def attn(prefix):
+        return {"norm": rms(f"{prefix}.norm"),
+                "qkv": lin_from_conv(f"{prefix}.to_qkv"),
+                "proj": lin_from_conv(f"{prefix}.proj")}
+
+    def mid(prefix):
+        return {"res1": resnet(f"{prefix}.resnets.0"),
+                "attn": attn(f"{prefix}.attentions.0"),
+                "res2": resnet(f"{prefix}.resnets.1")}
+
+    def walk_levels(prefix, n_levels, n_res, resample_key):
+        """Flattened ModuleList -> per-level {resnets, down/upsample}."""
+        levels, idx = [], 0
+        for _lvl in range(n_levels):
+            blk = {"resnets": []}
+            for _ in range(n_res):
+                blk["resnets"].append(resnet(f"{prefix}.{idx}"))
+                idx += 1
+            if f"{prefix}.{idx}.resample.1.weight" in state:
+                blk[resample_key] = conv(f"{prefix}.{idx}.resample.1")
+                idx += 1
+            levels.append(blk)
+        return levels
+
+    n_levels = len(cfg.dim_mult)
+    enc = {
+        "conv_in": conv("encoder.conv_in"),
+        "down": walk_levels("encoder.down_blocks", n_levels,
+                            cfg.num_res_blocks, "downsample"),
+        "mid": mid("encoder.mid_block"),
+        "norm_out": rms("encoder.norm_out"),
+        "conv_out": conv("encoder.conv_out"),
+        "quant_conv": conv("quant_conv"),
+    }
+    dec = {
+        "post_quant_conv": conv("post_quant_conv"),
+        "conv_in": conv("decoder.conv_in"),
+        "mid": mid("decoder.mid_block"),
+        "up": walk_levels("decoder.up_blocks", n_levels,
+                          cfg.num_res_blocks + 1, "upsample"),
+        "norm_out": rms("decoder.norm_out"),
+        "conv_out": conv("decoder.conv_out"),
+    }
+    leftover = state.unconsumed(ignore_patterns=(r"\btime_conv\b",
+                                                 r"\.time_conv\."))
+    if leftover:
+        raise ValueError(
+            f"convert_wan_vae: {len(leftover)} unmapped tensors, e.g. "
+            f"{leftover[:5]} — mapping incomplete or wrong checkpoint")
+    return {"encoder": enc, "decoder": dec}
+
+
+def is_wan_vae_state(state: dict) -> bool:
+    return any(k.endswith("norm1.gamma") or k == "encoder.norm_out.gamma"
+               for k in state)
+
+
 def load_converted(model_path: str, cfg):
     """Load a HF-layout checkpoint directory:
       <model_path>/transformer/*.safetensors
@@ -254,18 +385,31 @@ def load_converted(model_path: str, cfg):
     params = convert_flux_transformer(state, cfg, np.float32)
     params = _tree_cast(params, jnp.bfloat16)
 
-    vae_cfg = VAEConfig()
+    vae_state = _load_torch_state(root / "vae")
     vcfg_file = root / "vae" / "config.json"
-    if vcfg_file.exists():
-        c = json.load(open(vcfg_file))
+    c = json.load(open(vcfg_file)) if vcfg_file.exists() else {}
+    if is_wan_vae_state(vae_state) or c.get("_class_name") == "AutoencoderKLWan":
+        from regione_tpu.models.vae_wan import WanVAEConfig
+        kw = {}
+        if "latents_mean" in c:
+            kw["latents_mean"] = tuple(c["latents_mean"])
+            kw["latents_std"] = tuple(c["latents_std"])
+        vae_cfg = WanVAEConfig(
+            latent_channels=c.get("z_dim", 16),
+            base_dim=c.get("base_dim", 96),
+            dim_mult=tuple(c.get("dim_mult", (1, 2, 4, 4))),
+            num_res_blocks=c.get("num_res_blocks", 2), **kw)
+        vae_params = convert_wan_vae(vae_state, vae_cfg)
+    else:
         vae_cfg = VAEConfig(
             latent_channels=c.get("latent_channels", 16),
-            block_out_channels=tuple(c.get("block_out_channels", (128, 256, 512, 512))),
+            block_out_channels=tuple(
+                c.get("block_out_channels", (128, 256, 512, 512))),
             layers_per_block=c.get("layers_per_block", 2),
             scaling_factor=c.get("scaling_factor", 0.3611),
             shift_factor=c.get("shift_factor", 0.1159) or 0.0,
         )
-    vae_params = convert_vae(_load_torch_state(root / "vae"), vae_cfg)
+        vae_params = convert_vae(vae_state, vae_cfg)
 
     te_dir = root / "text_encoder"
     encoder = (HFTextEncoder(str(te_dir)) if te_dir.exists()
