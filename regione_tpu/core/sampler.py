@@ -181,6 +181,14 @@ class RegionESampler:
         masks_np = np.asarray(jax.device_get(mask_b))
         ids_b = jnp.asarray(np.stack(
             [masking.mask_to_padded_ids(m, cap) for m in masks_np]))
+        # inherit the request-axis (dp) sharding of the inputs so the rest
+        # segment partitions the same way (GSPMD propagates from operands)
+        shd = getattr(latents0_b, "sharding", None)
+        if (isinstance(shd, jax.sharding.NamedSharding) and shd.spec
+                and shd.spec[0] is not None):
+            ids_b = jax.device_put(
+                ids_b, jax.sharding.NamedSharding(
+                    shd.mesh, jax.sharding.PartitionSpec(shd.spec[0])))
         rkey = ("rest", jax.tree.structure((ctx_axes,)))
         if rkey not in self._batch_jits:
             self._batch_jits[rkey] = jax.jit(

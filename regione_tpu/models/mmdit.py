@@ -304,23 +304,36 @@ def mmdit_forward(
     dense_like = mode in (MODE_DENSE, MODE_WRITE)
 
     # ---- double-stream depth under scan ----
-    def dbody(carry, xs):
-        xc, tc = carry
-        pl, ck, cv = xs
-        xc, tc, (nk, nv) = double_block(
-            pl, cfg, xc, tc, temb_act, rope_img, rope_txt, mode, ck, cv,
-            sel_img_ids, txt_bias)
-        return (xc, tc), (nk, nv)
-
+    # The stacked [L, B, S, P] cache is threaded as a scan CARRY updated by
+    # dynamic_update_index_in_dim — XLA performs the update in place on the
+    # loop carry, so exactly ONE cache copy is live.  (Passing it as scan
+    # xs/ys keeps the input stack AND the stacked outputs alive: 2x cache
+    # bytes, which is what OOM'd the 12B-class single-chip bring-up.)
     if mode == MODE_DENSE:
-        dck = jnp.zeros((cfg.depth_double, 0)), jnp.zeros((cfg.depth_double, 0))
-    else:
-        dck = (cache["dk"], cache["dv"])
-    (x, txt_h), (new_dk, new_dv) = jax.lax.scan(
-        dbody, (x, txt_h), (params["double"], dck[0], dck[1]))
+        def dbody(carry, pl):
+            xc, tc = carry
+            xc, tc, _ = double_block(
+                pl, cfg, xc, tc, temb_act, rope_img, rope_txt, mode,
+                None, None, sel_img_ids, txt_bias)
+            return (xc, tc), None
 
-    new_cache = None
-    if mode != MODE_DENSE:
+        (x, txt_h), _ = jax.lax.scan(dbody, (x, txt_h), params["double"])
+        new_cache = None
+    else:
+        def dbody(carry, pl):
+            xc, tc, dk, dv, i = carry
+            ck = jax.lax.dynamic_index_in_dim(dk, i, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(dv, i, 0, keepdims=False)
+            xc, tc, (nk, nv) = double_block(
+                pl, cfg, xc, tc, temb_act, rope_img, rope_txt, mode, ck, cv,
+                sel_img_ids, txt_bias)
+            dk = jax.lax.dynamic_update_index_in_dim(dk, nk, i, 0)
+            dv = jax.lax.dynamic_update_index_in_dim(dv, nv, i, 0)
+            return (xc, tc, dk, dv, i + 1), None
+
+        (x, txt_h, new_dk, new_dv, _), _ = jax.lax.scan(
+            dbody, (x, txt_h, cache["dk"], cache["dv"], jnp.int32(0)),
+            params["double"])
         new_cache = {"dk": new_dk, "dv": new_dv}
 
     # ---- single-stream depth ----
@@ -333,25 +346,31 @@ def mmdit_forward(
         else:
             sel_stream = None
 
-        def sbody(carry, xs):
-            sc = carry
-            pl, ck, cv = xs
-            sc, (nk, nv) = single_block(
-                pl, cfg, sc, temb_act, rope_stream, mode, ck, cv, sel_stream,
-                txt_bias)
-            return sc, (nk, nv)
-
         if mode == MODE_DENSE:
-            sck = (jnp.zeros((cfg.depth_single, 0)),
-                   jnp.zeros((cfg.depth_single, 0)))
+            def sbody(sc, pl):
+                sc, _ = single_block(pl, cfg, sc, temb_act, rope_stream,
+                                     mode, None, None, sel_stream, txt_bias)
+                return sc, None
+
+            stream, _ = jax.lax.scan(sbody, stream, params["single"])
         else:
-            sck = (cache["sk"], cache["sv"])
-        stream, (new_sk, new_sv) = jax.lax.scan(
-            sbody, stream, (params["single"], sck[0], sck[1]))
-        x = stream[:, t_txt:]
-        if mode != MODE_DENSE:
+            def sbody(carry, pl):
+                sc, sk, sv, i = carry
+                ck = jax.lax.dynamic_index_in_dim(sk, i, 0, keepdims=False)
+                cv = jax.lax.dynamic_index_in_dim(sv, i, 0, keepdims=False)
+                sc, (nk, nv) = single_block(
+                    pl, cfg, sc, temb_act, rope_stream, mode, ck, cv,
+                    sel_stream, txt_bias)
+                sk = jax.lax.dynamic_update_index_in_dim(sk, nk, i, 0)
+                sv = jax.lax.dynamic_update_index_in_dim(sv, nv, i, 0)
+                return (sc, sk, sv, i + 1), None
+
+            (stream, new_sk, new_sv, _), _ = jax.lax.scan(
+                sbody, (stream, cache["sk"], cache["sv"], jnp.int32(0)),
+                params["single"])
             new_cache["sk"] = new_sk
             new_cache["sv"] = new_sv
+        x = stream[:, t_txt:]
 
     # ---- final AdaLN + projection ----
     shift, scale = _modulation(params["final_mod"], temb_act, 2)

@@ -388,13 +388,24 @@ class EditPipelineBase:
     # -- batched latent-space edit ---------------------------------------------
 
     def edit_latents_batch(self, latents_list, ctx_list, grid_h: int,
-                           grid_w: int, forced_masks=None):
+                           grid_w: int, forced_masks=None, mesh=None):
         """Edit B same-geometry images in ONE vmapped device program
         (throughput serving; see core.sampler.sample_batch).  All images
         share the model params, rope tables, and one capacity bucket.
 
+        mesh: a jax Mesh with a "dp" axis — the stacked request axis is
+        placed on P("dp") so GSPMD spreads the per-image KV-cache sets
+        across chips (one chip cannot hold 2 cache sets at dev scale,
+        pipelines/serve.py memory note).  Params stay replicated (or
+        TP-sharded if the caller pre-sharded them).
+
         Returns (list of [1, S, C] latents, stats)."""
         assert len(latents_list) == len(ctx_list) >= 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            dp_sharding = NamedSharding(mesh, PartitionSpec("dp"))
+        else:
+            dp_sharding = None
         c0 = ctx_list[0]
         extra = dict(c0.extra)
         extra.setdefault("params", self.params)
@@ -404,7 +415,10 @@ class EditPipelineBase:
             vals = [getattr(c, name) for c in ctx_list]
             if vals[0] is None:
                 return None, None
-            return jnp.stack([jnp.asarray(v) for v in vals]), 0
+            out = jnp.stack([jnp.asarray(v) for v in vals])
+            if dp_sharding is not None:
+                out = jax.device_put(out, dp_sharding)
+            return out, 0
 
         txt, _ = stack_field("txt")
         cond, _ = stack_field("cond_latent")
@@ -424,11 +438,15 @@ class EditPipelineBase:
         sampler = self.sampler_for(grid_h, grid_w, t_txt, batch_cache,
                                    s_cond=cond.shape[-2])
         lat_b = jnp.stack([jnp.asarray(l) for l in latents_list])
+        if dp_sharding is not None:
+            lat_b = jax.device_put(lat_b, dp_sharding)
         s_noise = lat_b.shape[2]
         cond_part = cond[:, :, :s_noise]
         fm = None
         if forced_masks is not None:
             fm = jnp.stack([jnp.asarray(m) for m in forced_masks])
+            if dp_sharding is not None:
+                fm = jax.device_put(fm, dp_sharding)
         out_b, stats = sampler.sample_batch(lat_b, cond_part, ctx_b, ctx_axes,
                                             forced_masks=fm)
         return [out_b[i] for i in range(out_b.shape[0])], stats

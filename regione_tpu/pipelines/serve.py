@@ -71,15 +71,17 @@ class EditService:
         return (img * 255).round().astype(np.uint8), stats
 
     def run_batched(self, requests: Sequence[EditRequest],
-                    max_batch: int = 4) -> list[EditResult]:
+                    max_batch: int = 4, mesh=None) -> list[EditResult]:
         """Group same-geometry requests and denoise each group in ONE
         vmapped device program (core.sampler.sample_batch) — higher MXU
         occupancy than sequential single-image runs.
 
         Memory note: each image carries its own KV-cache set (~2.5 GB at
         the 1.26B/1024^2 dev scale), so max_batch is bounded by HBM on one
-        chip (dev scale: batch 2 already exceeds a 16 GB v5e — use the dp
-        mesh axis to spread request batches across chips instead)."""
+        chip (dev scale: batch 2 already exceeds a 16 GB v5e).  Pass a
+        `mesh` with a "dp" axis to spread the request batch across chips:
+        the batch leaves are placed on P("dp") and GSPMD keeps each
+        image's KV-cache set on its own device."""
         from regione_tpu.models import vae as V
         prepped = []
         for req in requests:
@@ -97,7 +99,7 @@ class EditService:
                 t0 = time.perf_counter()
                 outs, stats = self.pipe.edit_latents_batch(
                     [prepped[i][2] for i in chunk],
-                    [prepped[i][1] for i in chunk], gh, gw)
+                    [prepped[i][1] for i in chunk], gh, gw, mesh=mesh)
                 per = (time.perf_counter() - t0) / len(chunk)
                 for i, lat in zip(chunk, outs):
                     z = V.unpack_latents(lat.astype(jnp.float32), gh, gw)
