@@ -162,6 +162,48 @@ def sdpa(q, k, v, bias=None):
     return out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
 
+def sdpa_cached(q, txt_kv, k_cache, v_cache, bias=None):
+    """RAGS attention against the head-major KV cache, read in place.
+
+    The cache lives as [B, H, S, d] (models.mmdit.init_cache) so the
+    kernels' per-head K/V blocks are contiguous slices — no transposed or
+    concatenated copy of the cache ever hits HBM (the reference's merged
+    [S, H*d] torch layout costs a ~20 GB/step transpose at dev scale).
+
+    q: [B, H, T, d].
+    txt_kv: (k_t, v_t) [B, H, T1, d] fresh txt rows (double blocks — txt
+        re-embeds each step) or None (single blocks: the cache already
+        holds the txt rows).
+    k_cache/v_cache: [B, H, S, d] bf16, or (int8 rows, [B, H, S] f32
+        scales) when the cache is quantized (ops.quant).
+    bias: [B, 1, 1, T1+S] additive key-column bias or None.
+    """
+    from regione_tpu.ops.flash_attention import (
+        flash_attention, flash_attention_rows2, use_flash)
+    quant = isinstance(k_cache, tuple)
+    rows = k_cache[0] if quant else k_cache
+    s = rows.shape[2]
+    if use_flash(q.shape, rows.shape) and (txt_kv is None or s % 128 == 0):
+        brow = (bias.reshape(bias.shape[0], bias.shape[-1])
+                if bias is not None else None)
+        kq, ks = k_cache if quant else (k_cache, None)
+        vq, vs = v_cache if quant else (v_cache, None)
+        if txt_kv is None:
+            return flash_attention(q, kq, vq, brow, k_scale=ks, v_scale=vs)
+        return flash_attention_rows2(q, txt_kv[0], txt_kv[1], kq, vq,
+                                     brow, k_scale=ks, v_scale=vs)
+    # fallback (CPU / unaligned): dequantize + concat
+    if quant:
+        from regione_tpu.ops.quant import dequantize_kv_heads
+        k_cache = dequantize_kv_heads(k_cache[0], k_cache[1], q.dtype)
+        v_cache = dequantize_kv_heads(v_cache[0], v_cache[1], q.dtype)
+    k, v = k_cache, v_cache
+    if txt_kv is not None:
+        k = jnp.concatenate([txt_kv[0].astype(k.dtype), k], axis=2)
+        v = jnp.concatenate([txt_kv[1].astype(v.dtype), v], axis=2)
+    return sdpa(q, k, v, bias=bias)
+
+
 def split_heads(x, heads):
     b, s, hd = x.shape
     return x.reshape(b, s, heads, hd // heads).transpose(0, 2, 1, 3)

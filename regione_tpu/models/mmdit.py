@@ -82,6 +82,12 @@ class MMDiTConfig:
     connector: Any = None          # ConnectorConfig for Step1X's timestep-
                                    # conditioned text refiner (reference
                                    # inplace.py:514-520); None = disabled
+    cache_int8: bool = False       # store KV cache as int8 with per-(row,
+                                   # head) scales (ops.quant): halves the
+                                   # largest HBM tenant of the RegionE path
+                                   # and the per-RAGS-step cache read
+                                   # bandwidth; opt-in (PSNR validated on
+                                   # hardware before enabling by default)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -109,29 +115,23 @@ def _attn_qkv(p, x, rope, heads):
     return q, k, v
 
 
-def _merge_flat(x):
-    """[B, H, S, d] -> [B, S, H*d] for cache storage."""
-    b, h, s, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-
-
-def _unmerge(x, heads):
-    return split_heads(x, heads)
-
-
 def _modulation(p, temb_act, n):
     mods = linear(p, temb_act)
     return jnp.split(mods[:, None, :], n, axis=-1)
 
 
 def double_block(p, cfg: MMDiTConfig, img, txt, temb_act, rope_img, rope_txt,
-                 mode, cache_k, cache_v, sel_ids, txt_bias=None):
+                 mode, cache_k, cache_v, txt_bias=None):
     """MMDiT double-stream block (separate img/txt projections, joint
     attention with txt rows first — reference inplace.py:780-782).
 
     img: [B, T_img, H]  (T_img = full S_kv in dense/write; K_cap in rags)
-    cache_k/v: [B, S_kv, H*dh] attention-ready K / raw V, or None.
-    sel_ids: [K_cap] padded row ids into S_kv (rags mode only).
+    cache_k/v: head-major [B, H, S_kv, dh] attention-ready K / raw V
+      (or (int8 rows, scales) tuples when cfg.cache_int8); READ-ONLY in
+      rags mode (stale rows are bias-masked — see mmdit_forward), rebuilt
+      and returned in write mode, None in dense mode.
+    txt_bias: dense/write: [B,1,1,t_txt+S_kv] key bias; rags: the combined
+      [B,1,1,t_txt+cap+S_kv] fresh+cache bias.
     """
     heads = cfg.heads
     i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2 = _modulation(
@@ -144,27 +144,26 @@ def double_block(p, cfg: MMDiTConfig, img, txt, temb_act, rope_img, rope_txt,
 
     q_i, k_i, v_i = _attn_qkv(p["img_attn"], img_n, rope_img, heads)
     q_t, k_t, v_t = _attn_qkv(p["txt_attn"], txt_n, rope_txt, heads)
-
-    new_cache = (cache_k, cache_v)
-    if mode == MODE_DENSE:
-        k_img_full, v_img_full = k_i, v_i
-    elif mode == MODE_WRITE:
-        new_cache = (_merge_flat(k_i), _merge_flat(v_i))
-        k_img_full, v_img_full = k_i, v_i
-    elif mode == MODE_RAGS:
-        ck = cache_k.at[:, sel_ids, :].set(_merge_flat(k_i), mode="drop",
-                                           unique_indices=True)
-        cv = cache_v.at[:, sel_ids, :].set(_merge_flat(v_i), mode="drop",
-                                           unique_indices=True)
-        new_cache = (ck, cv)
-        k_img_full, v_img_full = _unmerge(ck, heads), _unmerge(cv, heads)
-    else:
-        raise ValueError(mode)
-
     q = jnp.concatenate([q_t, q_i], axis=2)
-    k = jnp.concatenate([k_t, k_img_full], axis=2)
-    v = jnp.concatenate([v_t, v_img_full], axis=2)
-    attn = sdpa(q, k, v, bias=txt_bias)
+
+    new_cache = None
+    if mode == MODE_RAGS:
+        from regione_tpu.models.layers import sdpa_cached
+        k_fresh = jnp.concatenate([k_t, k_i], axis=2)
+        v_fresh = jnp.concatenate([v_t, v_i], axis=2)
+        attn = sdpa_cached(q, (k_fresh, v_fresh), cache_k, cache_v,
+                           bias=txt_bias)
+    else:
+        if mode == MODE_WRITE:
+            # head-major cache == the projection output; store as-is
+            if cfg.cache_int8:
+                from regione_tpu.ops.quant import quantize_kv_heads
+                new_cache = (quantize_kv_heads(k_i), quantize_kv_heads(v_i))
+            else:
+                new_cache = (k_i, v_i)
+        k = jnp.concatenate([k_t, k_i], axis=2)
+        v = jnp.concatenate([v_t, v_i], axis=2)
+        attn = sdpa(q, k, v, bias=txt_bias)
 
     t_len = txt.shape[1]
     attn_txt, attn_img = attn[:, :t_len], attn[:, t_len:]
@@ -184,13 +183,14 @@ def double_block(p, cfg: MMDiTConfig, img, txt, temb_act, rope_img, rope_txt,
 
 
 def single_block(p, cfg: MMDiTConfig, x, temb_act, rope, mode,
-                 cache_k, cache_v, sel_ids, txt_bias=None):
+                 cache_k, cache_v, txt_bias=None):
     """Flux-style single-stream block: fused qkv+mlp projection, parallel
     attention and MLP, one output projection.  The stream is [txt ‖ img]
-    (txt rows re-embed each step, so in rags mode ALL active rows — txt and
-    edited — write their K/V rows into the cache; reference inplace.py:736).
+    (txt rows re-embed each step; in rags mode ALL active rows — txt and
+    edited — attend as FRESH keys while their stale cache slots are
+    bias-masked; reference inplace.py:736 instead rewrites them in place).
 
-    x: [B, T_act, H]; cache over [B, S_stream, H*dh].
+    x: [B, T_act, H]; cache head-major over [B, H, S_stream, dh].
     """
     heads = cfg.heads
     shift, scale, gate = _modulation(p["mod"], temb_act, 3)
@@ -205,23 +205,18 @@ def single_block(p, cfg: MMDiTConfig, x, temb_act, rope, mode,
     q = apply_rope(q, rope)
     k = apply_rope(k, rope)
 
-    new_cache = (cache_k, cache_v)
-    if mode == MODE_DENSE:
-        k_full, v_full = k, v
-    elif mode == MODE_WRITE:
-        new_cache = (_merge_flat(k), _merge_flat(v))
-        k_full, v_full = k, v
-    elif mode == MODE_RAGS:
-        ck = cache_k.at[:, sel_ids, :].set(_merge_flat(k), mode="drop",
-                                           unique_indices=True)
-        cv = cache_v.at[:, sel_ids, :].set(_merge_flat(v), mode="drop",
-                                           unique_indices=True)
-        new_cache = (ck, cv)
-        k_full, v_full = _unmerge(ck, heads), _unmerge(cv, heads)
+    new_cache = None
+    if mode == MODE_RAGS:
+        from regione_tpu.models.layers import sdpa_cached
+        attn = sdpa_cached(q, (k, v), cache_k, cache_v, bias=txt_bias)
     else:
-        raise ValueError(mode)
-
-    attn = sdpa(q, k_full, v_full, bias=txt_bias)
+        if mode == MODE_WRITE:
+            if cfg.cache_int8:
+                from regione_tpu.ops.quant import quantize_kv_heads
+                new_cache = (quantize_kv_heads(k), quantize_kv_heads(v))
+            else:
+                new_cache = (k, v)
+        attn = sdpa(q, k, v, bias=txt_bias)
     out = linear(p["linear2"],
                  jnp.concatenate([attn, jax.nn.gelu(mlp_h, approximate=True)], -1))
     return x + gate * out, new_cache
@@ -236,16 +231,38 @@ def init_cache(cfg: MMDiTConfig, batch: int, s_kv_img: int, t_txt: int,
     """Zero-initialized Region-Instruction KV cache pytree.
 
     double blocks cache the image stream ([noise ‖ condition] rows at cache
-    time); single blocks cache the full [txt ‖ image] stream."""
-    dtype = dtype or cfg.dtype
-    p = cfg.inner
+    time); single blocks cache the full [txt ‖ image] stream.
+
+    Layout is [L, B, H, S, dh] — per-head rows CONTIGUOUS.  The reference
+    stores merged [S, H*dh] rows (a torch convention); on TPU that layout
+    forces either a transposed full-cache copy per block (~20 GB HBM
+    traffic per RAGS step at dev scale) or half-bandwidth strided reads in
+    the attention kernel.  Head-major layout makes the kernel's per-head
+    K/V block a plain contiguous slice, and write mode stores the
+    projection output (already head-split) without any transpose.
+
+    With cfg.cache_int8 the K/V arrays are int8 plus per-(row, head) f32
+    scale leaves ("dk_s", ...) of shape [L, B, H, S]."""
+    dtype = dtype or (jnp.int8 if cfg.cache_int8 else cfg.dtype)
+    h, dh = cfg.heads, cfg.head_dim
     cache = {
-        "dk": jnp.zeros((cfg.depth_double, batch, s_kv_img, p), dtype),
-        "dv": jnp.zeros((cfg.depth_double, batch, s_kv_img, p), dtype),
+        "dk": jnp.zeros((cfg.depth_double, batch, h, s_kv_img, dh), dtype),
+        "dv": jnp.zeros((cfg.depth_double, batch, h, s_kv_img, dh), dtype),
     }
     if cfg.depth_single:
-        cache["sk"] = jnp.zeros((cfg.depth_single, batch, t_txt + s_kv_img, p), dtype)
-        cache["sv"] = jnp.zeros((cfg.depth_single, batch, t_txt + s_kv_img, p), dtype)
+        cache["sk"] = jnp.zeros(
+            (cfg.depth_single, batch, h, t_txt + s_kv_img, dh), dtype)
+        cache["sv"] = jnp.zeros(
+            (cfg.depth_single, batch, h, t_txt + s_kv_img, dh), dtype)
+    if cfg.cache_int8:
+        cache["dk_s"] = jnp.full((cfg.depth_double, batch, h, s_kv_img),
+                                 1e-12, jnp.float32)
+        cache["dv_s"] = cache["dk_s"]
+        if cfg.depth_single:
+            cache["sk_s"] = jnp.full(
+                (cfg.depth_single, batch, h, t_txt + s_kv_img), 1e-12,
+                jnp.float32)
+            cache["sv_s"] = cache["sk_s"]
     return cache
 
 
@@ -301,75 +318,148 @@ def mmdit_forward(
     txt_h = linear(params["txt_in"], txt_in)
 
     t_txt = txt_h.shape[1]
-    dense_like = mode in (MODE_DENSE, MODE_WRITE)
+
+    # ---- RAGS frozen-cache biases -----------------------------------------
+    # RAGS attends [fresh rows ‖ cached rows] with the STALE cache rows
+    # masked out: the edited rows' fresh K/V ride along with the queries
+    # (they are computed every step anyway) and the cache is READ-ONLY
+    # between refreshes.  Same key set as the reference's in-place row
+    # scatter (fresh replaces stale), but with zero cache writes — no
+    # scatter, no carry mutation, no double-buffered cache copies.
+    dbl_bias = sgl_bias = None
+    if mode == MODE_RAGS:
+        b = x.shape[0]
+        cap = sel_img_ids.shape[0]
+        s_kv = cache["dk"].shape[3]
+        if txt_bias is not None:
+            base_txt = txt_bias[:, 0, 0, :t_txt].astype(jnp.float32)
+            base_img = txt_bias[:, 0, 0, t_txt:].astype(jnp.float32)
+        else:
+            base_txt = jnp.zeros((b, t_txt), jnp.float32)
+            base_img = jnp.zeros((b, s_kv), jnp.float32)
+        # fresh edited rows: padded slots (id == s_kv sentinel) masked
+        fresh_edit = jnp.where(sel_img_ids < s_kv, 0.0, -1e30)
+        fresh_edit = jnp.broadcast_to(fresh_edit[None], (b, cap))
+        # cached image rows: stale (edited) positions masked
+        stale_img = jnp.zeros((b, s_kv), jnp.float32).at[
+            :, sel_img_ids].set(-1e30, mode="drop", unique_indices=True)
+        dbl_bias = jnp.concatenate(
+            [base_txt, fresh_edit, base_img + stale_img], axis=-1
+        )[:, None, None, :]
+        # single-block cache covers [txt ‖ img]: its txt slots are always
+        # stale (txt re-embeds each step, reference inplace.py:736)
+        sgl_bias = jnp.concatenate(
+            [base_txt, fresh_edit,
+             jnp.full((b, t_txt), -1e30, jnp.float32),
+             base_img + stale_img], axis=-1)[:, None, None, :]
 
     # ---- double-stream depth under scan ----
-    # The stacked [L, B, S, P] cache is threaded as a scan CARRY updated by
-    # dynamic_update_index_in_dim — XLA performs the update in place on the
-    # loop carry, so exactly ONE cache copy is live.  (Passing it as scan
-    # xs/ys keeps the input stack AND the stacked outputs alive: 2x cache
-    # bytes, which is what OOM'd the 12B-class single-chip bring-up.)
     if mode == MODE_DENSE:
         def dbody(carry, pl):
             xc, tc = carry
             xc, tc, _ = double_block(
                 pl, cfg, xc, tc, temb_act, rope_img, rope_txt, mode,
-                None, None, sel_img_ids, txt_bias)
+                None, None, txt_bias)
             return (xc, tc), None
 
         (x, txt_h), _ = jax.lax.scan(dbody, (x, txt_h), params["double"])
         new_cache = None
-    else:
+    elif mode == MODE_RAGS:
+        # read-only cache -> thread it as scan xs (per-layer slices)
+        def _xs(prefix):
+            if cfg.cache_int8:
+                return (cache[prefix], cache[prefix + "_s"])
+            return (cache[prefix],)
+
+        def dbody(carry, xs):
+            xc, tc = carry
+            pl = xs[0]
+            if cfg.cache_int8:
+                ck, cv = (xs[1], xs[2]), (xs[3], xs[4])
+            else:
+                ck, cv = xs[1], xs[2]
+            xc, tc, _ = double_block(
+                pl, cfg, xc, tc, temb_act, rope_img, rope_txt, mode,
+                ck, cv, dbl_bias)
+            return (xc, tc), None
+
+        (x, txt_h), _ = jax.lax.scan(
+            dbody, (x, txt_h),
+            (params["double"],) + _xs("dk") + _xs("dv"))
+        new_cache = cache   # frozen
+    else:  # MODE_WRITE: the cache is (re)built layer by layer, in place
+        _upd = jax.lax.dynamic_update_index_in_dim
+
+        def _store(stack, new, i):
+            if cfg.cache_int8:
+                return (_upd(stack[0], new[0], i, 0),
+                        _upd(stack[1], new[1], i, 0))
+            return _upd(stack, new, i, 0)
+
+        def _pack(prefix):
+            if cfg.cache_int8:
+                return (cache[prefix], cache[prefix + "_s"])
+            return cache[prefix]
+
         def dbody(carry, pl):
             xc, tc, dk, dv, i = carry
-            ck = jax.lax.dynamic_index_in_dim(dk, i, 0, keepdims=False)
-            cv = jax.lax.dynamic_index_in_dim(dv, i, 0, keepdims=False)
             xc, tc, (nk, nv) = double_block(
-                pl, cfg, xc, tc, temb_act, rope_img, rope_txt, mode, ck, cv,
-                sel_img_ids, txt_bias)
-            dk = jax.lax.dynamic_update_index_in_dim(dk, nk, i, 0)
-            dv = jax.lax.dynamic_update_index_in_dim(dv, nv, i, 0)
-            return (xc, tc, dk, dv, i + 1), None
+                pl, cfg, xc, tc, temb_act, rope_img, rope_txt, mode,
+                None, None, txt_bias)
+            return (xc, tc, _store(dk, nk, i), _store(dv, nv, i),
+                    i + 1), None
 
         (x, txt_h, new_dk, new_dv, _), _ = jax.lax.scan(
-            dbody, (x, txt_h, cache["dk"], cache["dv"], jnp.int32(0)),
+            dbody, (x, txt_h, _pack("dk"), _pack("dv"), jnp.int32(0)),
             params["double"])
-        new_cache = {"dk": new_dk, "dv": new_dv}
+        if cfg.cache_int8:
+            new_cache = {"dk": new_dk[0], "dk_s": new_dk[1],
+                         "dv": new_dv[0], "dv_s": new_dv[1]}
+        else:
+            new_cache = {"dk": new_dk, "dv": new_dv}
 
     # ---- single-stream depth ----
     if cfg.depth_single:
         stream = jnp.concatenate([txt_h, x], axis=1)
         rope_stream = concat_rope(rope_txt, rope_img)
-        if mode == MODE_RAGS:
-            txt_rows = jnp.arange(t_txt, dtype=sel_img_ids.dtype)
-            sel_stream = jnp.concatenate([txt_rows, sel_img_ids + t_txt])
-        else:
-            sel_stream = None
 
         if mode == MODE_DENSE:
             def sbody(sc, pl):
                 sc, _ = single_block(pl, cfg, sc, temb_act, rope_stream,
-                                     mode, None, None, sel_stream, txt_bias)
+                                     mode, None, None, txt_bias)
                 return sc, None
 
             stream, _ = jax.lax.scan(sbody, stream, params["single"])
+        elif mode == MODE_RAGS:
+            def sbody(sc, xs):
+                pl = xs[0]
+                if cfg.cache_int8:
+                    ck, cv = (xs[1], xs[2]), (xs[3], xs[4])
+                else:
+                    ck, cv = xs[1], xs[2]
+                sc, _ = single_block(pl, cfg, sc, temb_act, rope_stream,
+                                     mode, ck, cv, sgl_bias)
+                return sc, None
+
+            stream, _ = jax.lax.scan(
+                sbody, stream, (params["single"],) + _xs("sk") + _xs("sv"))
         else:
             def sbody(carry, pl):
                 sc, sk, sv, i = carry
-                ck = jax.lax.dynamic_index_in_dim(sk, i, 0, keepdims=False)
-                cv = jax.lax.dynamic_index_in_dim(sv, i, 0, keepdims=False)
                 sc, (nk, nv) = single_block(
-                    pl, cfg, sc, temb_act, rope_stream, mode, ck, cv,
-                    sel_stream, txt_bias)
-                sk = jax.lax.dynamic_update_index_in_dim(sk, nk, i, 0)
-                sv = jax.lax.dynamic_update_index_in_dim(sv, nv, i, 0)
-                return (sc, sk, sv, i + 1), None
+                    pl, cfg, sc, temb_act, rope_stream, mode,
+                    None, None, txt_bias)
+                return (sc, _store(sk, nk, i), _store(sv, nv, i),
+                        i + 1), None
 
             (stream, new_sk, new_sv, _), _ = jax.lax.scan(
-                sbody, (stream, cache["sk"], cache["sv"], jnp.int32(0)),
+                sbody, (stream, _pack("sk"), _pack("sv"), jnp.int32(0)),
                 params["single"])
-            new_cache["sk"] = new_sk
-            new_cache["sv"] = new_sv
+            if cfg.cache_int8:
+                new_cache.update(sk=new_sk[0], sk_s=new_sk[1],
+                                 sv=new_sv[0], sv_s=new_sv[1])
+            else:
+                new_cache.update(sk=new_sk, sv=new_sv)
         x = stream[:, t_txt:]
 
     # ---- final AdaLN + projection ----

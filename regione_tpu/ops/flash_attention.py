@@ -8,7 +8,7 @@ The hot attention here is non-causal with a full-sequence KV side
     edited-query x full-KV shape the reference serves with flash-attn v2
     (RegionE/Step1XEdit/inplace.py:788-798)
 
-Two kernels:
+Kernels:
 
 1. `_kv_resident_kernel` (primary): a whole head's K and V stay resident in
    VMEM (bf16 K+V at S=8320, d=128 is ~4.3 MB), grid = (batch*heads,
@@ -18,12 +18,26 @@ Two kernels:
    materialized [T, S] fp32 logits (~6.6 GB at dense 8320^2 x 24 heads) to
    just Q/K/V/O — the difference is the dense-step bottleneck on v5e.
 
-2. `_flash_kernel` (fallback for very long S): classic online-softmax
+2. `_kv_resident_q8_kernel`: same, but K/V arrive as int8 with per-(row,
+   head) f32 scales (the int8 KV cache, ops.quant) and are dequantized
+   into VMEM scratch ONCE per (batch, head) — HBM reads stay int8, half
+   the cache bandwidth.
+
+3. `_rows2_resident_kernel`: two-part KV for double-block RAGS steps —
+   fresh bf16 txt rows (txt re-embeds every step) + the cached image rows
+   (bf16 or int8), one softmax across both.  Avoids materializing a
+   [txt ‖ cache] concatenation (a full cache copy per block).
+
+4. `_flash_kernel` (fallback for very long S): classic online-softmax
    flash attention with fp32 running max/denominator, used when the
    resident logits row would not fit VMEM.
 
-Both accept an additive key-column bias row [B, S] (padded-text masking —
-also used internally to mask sequence padding added for tile alignment).
+The KV cache is stored head-major [B, H, S, dh] (models.mmdit.init_cache)
+so every kernel reads it as contiguous per-head slices — no transposes or
+strided DMA on the hot path.
+
+All kernels accept an additive key-column bias row [B, S] (padded-text
+masking — also used internally to mask padding added for tile alignment).
 """
 
 from __future__ import annotations
@@ -42,20 +56,53 @@ _NEG_INF = -1e30
 _RESIDENT_LOGITS_BUDGET = 6 * 1024 * 1024
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _softmax_rows(logits):
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
 def _kv_resident_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     q = q_ref[0]                                   # [BQ, D]
     k = k_ref[0]                                   # [S, D]
-    v = v_ref[0]                                   # [S, D]
+    v = v_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [BQ, S]
     if bias_ref is not None:
         logits = logits + bias_ref[0].astype(jnp.float32)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p = _softmax_rows(logits)
     o_ref[0] = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _kv_resident_q8_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref,
+                           o_ref, kd_ref, vd_ref, *, scale: float):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _dequant():                                # once per (batch, head)
+        ks = ks_ref[0, 0].astype(jnp.float32)      # [S]
+        vs = vs_ref[0, 0].astype(jnp.float32)
+        kd_ref[:] = (k_ref[0].astype(jnp.float32)
+                     * ks[:, None]).astype(jnp.bfloat16)
+        vd_ref[:] = (v_ref[0].astype(jnp.float32)
+                     * vs[:, None]).astype(jnp.bfloat16)
+
+    q = q_ref[0]
+    logits = jax.lax.dot_general(
+        q, kd_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if bias_ref is not None:
+        logits = logits + bias_ref[0].astype(jnp.float32)
+    p = _softmax_rows(logits)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), vd_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
@@ -93,21 +140,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention(q, k, v, bias=None, block_q: int = 128, block_k: int = 512,
-                    interpret: bool = False):
+                    interpret: bool = False, k_scale=None, v_scale=None):
     """q: [B, H, T, D]; k, v: [B, H, S, D]; bias: [B, S] additive or None.
     Returns [B, T, H*D] (same contract as models.layers.sdpa).
-    Pads T/S internally to tile multiples; padded keys are bias-masked."""
+    Pads T/S internally to tile multiples; padded keys are bias-masked.
+
+    k_scale/v_scale: [B, H, S] f32 — when given, k/v are int8 rows scaled
+    per (row, head); the resident kernel dequantizes into VMEM scratch
+    once per (batch, head), so HBM reads stay int8."""
     b, h, t, d = q.shape
     s = k.shape[2]
     scale = 1.0 / math.sqrt(d)
+    quant = k_scale is not None
 
     resident = 4 * block_q * _round_up(s, 128) <= _RESIDENT_LOGITS_BUDGET
+    if quant and not resident:
+        # rare (very long S): dequantize up front and take the bf16 path
+        k = (k.astype(jnp.float32) * k_scale[..., None]).astype(q.dtype)
+        v = (v.astype(jnp.float32) * v_scale[..., None]).astype(q.dtype)
+        quant = False
     bq = min(block_q, _round_up(t, 8))
     bk = _round_up(s, 128) if resident else block_k
 
@@ -123,6 +176,9 @@ def flash_attention(q, k, v, bias=None, block_q: int = 128, block_k: int = 512,
                        constant_values=_NEG_INF)
         k = jnp.pad(k, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        if quant:
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, s_pad - s)))
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, s_pad - s)))
 
     n_t = t_pad // bq
     n_kv = s_pad // bk
@@ -134,7 +190,42 @@ def flash_attention(q, k, v, bias=None, block_q: int = 128, block_k: int = 512,
         bias_f = jnp.broadcast_to(bias.reshape(b, 1, s_pad), (b, h, s_pad)
                                   ).reshape(b * h, 1, s_pad)
 
-    if resident:
+    if resident and quant:
+        ks_f = k_scale.reshape(b * h, 1, s_pad)
+        vs_f = v_scale.reshape(b * h, 1, s_pad)
+        grid = (b * h, n_t)
+        row = pl.BlockSpec((1, 1, s_pad), lambda g, i: (g, 0, 0))
+        in_specs = [
+            pl.BlockSpec((1, bq, d), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, s_pad, d), lambda g, i: (g, 0, 0)),
+            row,
+            pl.BlockSpec((1, s_pad, d), lambda g, i: (g, 0, 0)),
+            row,
+        ]
+        args = [qf, kf, ks_f, vf, vs_f]
+        scratch = [pltpu.VMEM((s_pad, d), jnp.bfloat16),
+                   pltpu.VMEM((s_pad, d), jnp.bfloat16)]
+        if bias is not None:
+            in_specs.append(row)
+            args.append(bias_f)
+            kernel = functools.partial(_kv_resident_q8_kernel, scale=scale)
+        else:
+            kernel = functools.partial(
+                lambda qr, kr, ksr, vr, vsr, o, kd, vd, **kw:
+                _kv_resident_q8_kernel(qr, kr, ksr, vr, vsr, None, o,
+                                       kd, vd, **kw), scale=scale)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bq, d), lambda g, i: (g, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )(*args)
+    elif resident:
         grid = (b * h, n_t)
         in_specs = [
             pl.BlockSpec((1, bq, d), lambda g, i: (g, i, 0)),
@@ -194,6 +285,149 @@ def flash_attention(q, k, v, bias=None, block_q: int = 128, block_k: int = 512,
         )(*args)
 
     out = out.reshape(b, h, t_pad, d)[:, :, :t]
+    return out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+# ---------------------------------------------------------------------------
+# two-part KV: fresh txt rows + cached image rows (double-block RAGS)
+# ---------------------------------------------------------------------------
+
+
+def _rows2_resident_kernel(q_ref, kt_ref, vt_ref, k_ref, v_ref, ks_ref,
+                           vs_ref, bias_ref, o_ref, kd_ref, vd_ref,
+                           *, scale: float, t1: int):
+    """One softmax over [txt ‖ cache] without materializing the concat."""
+    if ks_ref is not None:
+        i = pl.program_id(2)
+
+        @pl.when(i == 0)
+        def _dequant():
+            ks = ks_ref[0, 0].astype(jnp.float32)
+            vs = vs_ref[0, 0].astype(jnp.float32)
+            kd_ref[:] = (k_ref[0, 0].astype(jnp.float32)
+                         * ks[:, None]).astype(jnp.bfloat16)
+            vd_ref[:] = (v_ref[0, 0].astype(jnp.float32)
+                         * vs[:, None]).astype(jnp.bfloat16)
+        k = kd_ref[:]
+        v = vd_ref[:]
+    else:
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+    q = q_ref[0, 0]
+    kt = kt_ref[0, 0]                              # [T1, D]
+    vt = vt_ref[0, 0]
+    lt = jax.lax.dot_general(
+        q, kt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # [BQ, T1]
+    li = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # [BQ, S]
+    logits = jnp.concatenate([lt, li], axis=1)
+    if bias_ref is not None:
+        logits = logits + bias_ref[0].astype(jnp.float32)
+    p = _softmax_rows(logits)
+    pt = p[:, :t1]
+    pi = p[:, t1:]
+    o = jax.lax.dot_general(
+        pt.astype(vt.dtype), vt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o = o + jax.lax.dot_general(
+        pi.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "interpret"))
+def flash_attention_rows2(q, k_txt, v_txt, k_cache, v_cache,
+                          bias=None, k_scale=None, v_scale=None,
+                          block_q: int = 128, interpret: bool = False):
+    """Double-block RAGS attention: q over [txt ‖ cached image rows].
+
+    q: [B, H, T, D]; k_txt/v_txt: [B, H, T1, D] fresh bf16 (txt re-embeds
+    every step); k_cache/v_cache: [B, H, S, D] head-major cache (bf16 or
+    int8 with k_scale/v_scale [B, H, S]).  bias: [B, T1+S] or None.
+    The cache is read in place; no concat or transpose hits HBM.
+    Requires S % 128 == 0 (all production geometries)."""
+    b, h, t, d = q.shape
+    t1 = k_txt.shape[2]
+    s = k_cache.shape[2]
+    assert s % 128 == 0
+    scale = 1.0 / math.sqrt(d)
+    quant = k_scale is not None
+
+    t1_pad = _round_up(t1, 128)
+    if t1_pad != t1:
+        # pad the (tiny) txt rows; mask the padded columns via bias
+        k_txt = jnp.pad(k_txt, ((0, 0), (0, 0), (0, t1_pad - t1), (0, 0)))
+        v_txt = jnp.pad(v_txt, ((0, 0), (0, 0), (0, t1_pad - t1), (0, 0)))
+        if bias is None:
+            bias = jnp.zeros((b, t1 + s), jnp.float32)
+        bias = jnp.concatenate(
+            [bias[:, :t1],
+             jnp.full((b, t1_pad - t1), _NEG_INF, jnp.float32),
+             bias[:, t1:]], axis=1)
+    bq = min(block_q, _round_up(t, 8))
+    t_pad = _round_up(t, bq)
+    if t_pad != t:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+    n_t = t_pad // bq
+
+    grid = (b, h, n_t)
+    q_spec = pl.BlockSpec((1, 1, bq, d), lambda bb, hh, i: (bb, hh, i, 0))
+    txt_spec = pl.BlockSpec((1, 1, t1_pad, d),
+                            lambda bb, hh, i: (bb, hh, 0, 0))
+    kv_spec = pl.BlockSpec((1, 1, s, d), lambda bb, hh, i: (bb, hh, 0, 0))
+    # scales flattened to [B*H, 1, S]: a (1, 1, s) block in a (.., 1, S)
+    # array satisfies Mosaic's last-two-dims rule (blocking H directly
+    # would put a size-1 block in a size-H dim — illegal)
+    sc_spec = pl.BlockSpec((1, 1, s), lambda bb, hh, i: (bb * h + hh, 0, 0))
+    bias_spec = pl.BlockSpec((1, 1, t1_pad + s), lambda bb, hh, i: (bb, 0, 0))
+    out_spec = pl.BlockSpec((1, 1, bq, d), lambda bb, hh, i: (bb, hh, i, 0))
+    out_shape = jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype)
+
+    args = [q, k_txt, v_txt]
+    in_specs = [q_spec, txt_spec, txt_spec]
+    if quant:
+        args += [k_cache, k_scale.reshape(b * h, 1, s),
+                 v_cache, v_scale.reshape(b * h, 1, s)]
+        in_specs += [kv_spec, sc_spec, kv_spec, sc_spec]
+        scratch = [pltpu.VMEM((s, d), jnp.bfloat16),
+                   pltpu.VMEM((s, d), jnp.bfloat16)]
+
+        def kernel(qr, ktr, vtr, kr, ksr, vr, vsr, *rest, **kw):
+            if bias is not None:
+                br, o, kd, vd = rest
+            else:
+                (o, kd, vd), br = rest, None
+            _rows2_resident_kernel(qr, ktr, vtr, kr, vr, ksr, vsr, br, o,
+                                   kd, vd, **kw)
+    else:
+        args += [k_cache, v_cache]
+        in_specs += [kv_spec, kv_spec]
+        scratch = []
+
+        def kernel(qr, ktr, vtr, kr, vr, *rest, **kw):
+            br, o = rest if bias is not None else (None, rest[0])
+            _rows2_resident_kernel(qr, ktr, vtr, kr, vr, None, None, br, o,
+                                   None, None, **kw)
+    if bias is not None:
+        args.append(bias[:, None, :])   # [B, 1, cols] (Mosaic block rule)
+        in_specs.append(bias_spec)
+
+    out = pl.pallas_call(
+        functools.partial(kernel, scale=scale, t1=t1_pad),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+
+    out = out[:, :, :t]
     return out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
 

@@ -100,9 +100,11 @@ def shard_params(params, mesh: Mesh):
 
 
 def cache_specs(cache) -> Any:
-    """KV caches [L, B, S, H*dh]: shard the flattened head axis on tp and
-    batch on dp."""
-    return jax.tree.map(lambda x: P(None, "dp", None, "tp"), cache)
+    """Head-major KV caches: [L, B, H, S, dh] K/V shard the head axis on
+    tp and batch on dp; [L, B, H, S] int8 scale leaves likewise."""
+    return jax.tree.map(
+        lambda x: (P(None, "dp", "tp", None, None) if x.ndim == 5
+                   else P(None, "dp", "tp", None)), cache)
 
 
 def latent_spec() -> P:

@@ -46,12 +46,13 @@ def main():
     ap.add_argument("--dd", type=int, default=11, help="double depth")
     ap.add_argument("--ds", type=int, default=22, help="single depth")
     ap.add_argument("--grid", type=int, default=64)
+    ap.add_argument("--cache-int8", action="store_true")
     args = ap.parse_args()
 
     GRID, T_TXT, SEED = args.grid, 640, 110
     cfg = dataclasses.replace(
         get_config("step1x-edit"), depth_double=args.dd,
-        depth_single=args.ds, connector=None)
+        depth_single=args.ds, connector=None, cache_int8=args.cache_int8)
 
     mp = plan(cfg, grid=GRID, t_txt=T_TXT, int8=True, quantize_mods=True)
     log(f"plan: params {mp.params_total/1e9:.2f}B, "
@@ -142,6 +143,7 @@ def main():
         "param_bytes_gib": round(quantized_bytes(params) / 2**30, 2),
         "depth_double": cfg.depth_double, "depth_single": cfg.depth_single,
         "hidden": cfg.hidden, "int8": True, "quantize_mods": True,
+        "cache_int8": cfg.cache_int8,
         "t_txt": T_TXT, "seq_len": s,
         "edited_tokens": stats.edited_tokens, "capacity": stats.capacity,
         "device": str(jax.devices()[0]),

@@ -1,0 +1,97 @@
+"""Fast probe: AOT-compile the sampler's _rest segment at a given scale
+(abstract args — no weights materialized) and print XLA's TPU memory
+analysis.  Used to iterate on eliminating the full-cache while-loop entry
+copy that blocks the 12B-class single-chip RegionE path.
+
+python scripts/probe_rest_memory.py --dd 11 --ds 22 [--cache-int8] [--no-donate]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dd", type=int, default=11)
+    ap.add_argument("--ds", type=int, default=22)
+    ap.add_argument("--grid", type=int, default=64)
+    ap.add_argument("--t-txt", type=int, default=640)
+    ap.add_argument("--cap", type=int, default=1024)
+    ap.add_argument("--cache-int8", action="store_true")
+    ap.add_argument("--no-donate", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from regione_tpu.core.config import RegionEParams
+    from regione_tpu.models.mmdit import init_cache, init_mmdit
+    from regione_tpu.models.presets import get_config
+    from regione_tpu.ops.quant import quantize_params
+    from regione_tpu.pipelines.base import EditInputs
+    from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
+
+    cfg = dataclasses.replace(
+        get_config("step1x-edit"), depth_double=args.dd,
+        depth_single=args.ds, connector=None, cache_int8=args.cache_int8)
+    GRID, T_TXT, CAP = args.grid, args.t_txt, args.cap
+    s = GRID * GRID
+    s_kv = 2 * s
+
+    pshapes = jax.eval_shape(
+        lambda k: quantize_params(init_mmdit(k, cfg), quantize_mods=True),
+        jax.random.PRNGKey(0))
+    abstract = lambda t: jax.tree.map(
+        lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), t)
+    params_abs = abstract(pshapes)
+
+    pipe = Step1XEditPipeline(cfg, None, RegionEParams())
+    sampler = pipe.sampler_for(GRID, GRID, T_TXT, batch_cache=2)
+    if args.no_donate:
+        sampler._rest_jit = jax.jit(sampler._rest)
+
+    cache_abs = abstract(jax.eval_shape(
+        lambda: init_cache(cfg, 2, s_kv, T_TXT)))
+    rope_dim = sum(cfg.axes_dims)
+    ctx_abs = EditInputs(
+        txt=jax.ShapeDtypeStruct((2, T_TXT, cfg.txt_in_dim), cfg.dtype),
+        cond_latent=jax.ShapeDtypeStruct((1, s, cfg.in_channels), jnp.float32),
+        rope_img=(jax.ShapeDtypeStruct((s_kv, rope_dim), jnp.float32),) * 2,
+        rope_txt=(jax.ShapeDtypeStruct((T_TXT, rope_dim), jnp.float32),) * 2,
+        pooled=jax.ShapeDtypeStruct((2, cfg.pooled_dim), cfg.dtype),
+        extra={"params": params_abs, "s_noise": s},
+    )
+    lat_abs = jax.ShapeDtypeStruct((1, s, cfg.in_channels), jnp.float32)
+    ids_abs = jax.ShapeDtypeStruct((CAP,), jnp.int32)
+    mask_abs = jax.ShapeDtypeStruct((s,), jnp.bool_)
+
+    t0 = time.perf_counter()
+    compiled = sampler._rest_jit.lower(
+        lat_abs, ids_abs, mask_abs, cache_abs, ctx_abs).compile()
+    ma = compiled.memory_analysis()
+    print(json.dumps({
+        "dd": args.dd, "ds": args.ds, "cache_int8": args.cache_int8,
+        "donate": not args.no_donate,
+        "compile_s": round(time.perf_counter() - t0, 1),
+        "argument_gib": round(ma.argument_size_in_bytes / 2**30, 3),
+        "output_gib": round(ma.output_size_in_bytes / 2**30, 3),
+        "temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
+        "alias_gib": round(ma.alias_size_in_bytes / 2**30, 3),
+        "peak_gib": round(
+            (ma.argument_size_in_bytes + ma.output_size_in_bytes
+             + ma.temp_size_in_bytes - ma.alias_size_in_bytes) / 2**30, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -85,7 +85,7 @@ def test_cache_specs_shapes():
     cfg = get_config("tiny")
     cache = init_cache(cfg, 2, 32, 4)
     specs = cache_specs(cache)
-    assert specs["dk"] == P(None, "dp", None, "tp")
+    assert specs["dk"] == P(None, "dp", "tp", None, None)
 
 
 def test_batch_sampling_dp_sharded():

@@ -75,7 +75,8 @@ def test_fullsize_forward_traces_at_production_geometry(preset):
 
     v, cache = jax.eval_shape(fwd, params)
     assert v.shape == (b, s_kv, cfg.out_channels)
-    assert cache["dk"].shape == (cfg.depth_double, b, s_kv, cfg.inner)
+    assert cache["dk"].shape == (cfg.depth_double, b, cfg.heads, s_kv,
+                                 cfg.head_dim)
     if cfg.depth_single:
-        assert cache["sk"].shape == (cfg.depth_single, b, t_txt + s_kv,
-                                     cfg.inner)
+        assert cache["sk"].shape == (cfg.depth_single, b, cfg.heads,
+                                     t_txt + s_kv, cfg.head_dim)
