@@ -47,7 +47,7 @@ def build_pipeline(args):
         "qwen-image-edit-plus": QwenImageEditPlusPipeline,
     }
     backend = args.backend
-    preset = backend + (":dev" if args.dev else "")
+    preset = args.preset or (backend + (":dev" if args.dev else ""))
     try:
         cfg = get_config(preset)
     except KeyError:
@@ -66,7 +66,8 @@ def build_pipeline(args):
     else:
         params = init_mmdit(jax.random.PRNGKey(args.seed), cfg)
         vae_cfg = V.VAEConfig(block_out_channels=(32, 64),
-                              norm_num_groups=16, layers_per_block=1)
+                              norm_num_groups=16, layers_per_block=1,
+                              latent_channels=cfg.in_channels // 4)
         vae_params = init_vae_cached(vae_cfg, args.seed)
         encoder = MockTextEncoder(cfg.txt_in_dim,
                                   cfg.pooled_dim or None, max_length=128)
@@ -197,6 +198,10 @@ def main(argv=None):
                          "(reference does 3, main.py:50-58)")
     ap.add_argument("--dev", action="store_true",
                     help="use the scaled :dev architecture preset")
+    ap.add_argument("--preset", default=None,
+                    help="explicit architecture preset name (overrides "
+                         "--backend/--dev resolution; e.g. 'tiny' for "
+                         "CPU smoke runs)")
     ap.add_argument("--random_weights", action="store_true")
     ap.add_argument("--save_format", default="png", choices=["png", "webp"])
     ap.add_argument("--print_plan", action="store_true",

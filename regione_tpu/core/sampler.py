@@ -116,8 +116,12 @@ class RegionESampler:
         import time as _time
         s_noise = latents0.shape[1]
         t0 = _time.perf_counter()
-        lat, mask, cache = self._sts_jit(latents0, cond_latent, ctx, forced_mask)
-        n_edit = int(jax.device_get(jnp.sum(mask)))  # the one host sync
+        lat, mask, ids_sorted, cache = self._sts_jit(
+            latents0, cond_latent, ctx, forced_mask)
+        # THE one host sync: only the scalar count crosses to the host (to
+        # pick the static capacity bucket); the id set itself never leaves
+        # the device (ids_sorted is sliced + sentinel-padded inside _rest)
+        n_edit = int(jax.device_get(jnp.sum(mask)))
         sts_s = _time.perf_counter() - t0
         cap = self.re.rags_capacity or pick_capacity(
             n_edit, s_noise, self.re.capacity_granularity)
@@ -129,14 +133,14 @@ class RegionESampler:
                 f"edited tokens ({n_edit}) exceed pinned rags_capacity "
                 f"({cap}); the highest-index {n_edit - cap} edited tokens "
                 "will be treated as unedited", stacklevel=2)
-        ids = jnp.asarray(
-            masking.mask_to_padded_ids(np.asarray(jax.device_get(mask)), cap))
-        if n_edit > cap:
-            # keep mask consistent with the truncated id set (refresh
-            # split-steps select by mask)
+            ids = jnp.asarray(masking.mask_to_padded_ids(
+                np.asarray(jax.device_get(mask)), cap))
             mask = jnp.zeros((s_noise,), bool).at[ids].set(True, mode="drop")
+            ids_cap = ids
+        else:
+            ids_cap = jax.lax.slice(ids_sorted, (0,), (cap,))
         t1 = _time.perf_counter()
-        lat, _ = self._rest_jit(lat, ids, mask, cache, ctx)
+        lat, _ = self._rest_jit(lat, ids_cap, mask, cache, ctx)
         rest_s = 0.0
         if timed:
             float(jnp.sum(lat))  # completion barrier (block_until_ready can
@@ -174,7 +178,8 @@ class RegionESampler:
             self._batch_jits[key] = jax.jit(
                 jax.vmap(self._sts, in_axes=(0, 0, ctx_axes, fm_axis)))
         sts_v = self._batch_jits[key]
-        lat_b, mask_b, cache_b = sts_v(latents0_b, cond_b, ctx_b, forced_masks)
+        lat_b, mask_b, _ids_sorted_b, cache_b = sts_v(
+            latents0_b, cond_b, ctx_b, forced_masks)
         counts = np.asarray(jax.device_get(jnp.sum(mask_b, axis=-1)))
         cap = self.re.rags_capacity or pick_capacity(
             int(counts.max()), s_noise, self.re.capacity_granularity)
@@ -269,7 +274,11 @@ class RegionESampler:
         # long-jump to the refresh sigma (reference inplace.py:653-668)
         lat = masking.where_rows(mask, lat + part.dt * v, lat + part.dt_jump * v)
         self._tick(part.index)
-        return lat, mask, cache
+        # device-side id selection: stable argsort puts edited ids first
+        # (ascending), so _rest can slice any capacity prefix without the
+        # host ever downloading the mask or uploading an id tensor
+        ids_sorted = jnp.argsort(~mask, stable=True).astype(jnp.int32)
+        return lat, mask, ids_sorted, cache
 
     # ------------------------------------------------------------------
     # segment 2: RAGS / refresh / SMS
@@ -277,6 +286,12 @@ class RegionESampler:
 
     def _rest(self, lat, ids, mask, cache, ctx):
         s_noise = lat.shape[1]
+        # sentinel-pad on device: slots past the edited count become
+        # s_noise (an invalid latent row; the pipelines remap it past the
+        # cache too).  Host-built id sets arrive already padded — the
+        # where() is then an identity.
+        count = jnp.sum(mask)
+        ids = jnp.where(jnp.arange(ids.shape[0]) < count, ids, s_noise)
         valid = (ids < s_noise)[None, :, None].astype(jnp.float32)
         segs = plan_segments(self.plan[self.re.warmup_step:])
         avd_full = jnp.zeros_like(lat)

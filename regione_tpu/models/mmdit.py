@@ -183,14 +183,16 @@ def double_block(p, cfg: MMDiTConfig, img, txt, temb_act, rope_img, rope_txt,
 
 
 def single_block(p, cfg: MMDiTConfig, x, temb_act, rope, mode,
-                 cache_k, cache_v, txt_bias=None):
+                 cache_k, cache_v, txt_bias=None, t_txt: int = 0):
     """Flux-style single-stream block: fused qkv+mlp projection, parallel
     attention and MLP, one output projection.  The stream is [txt ‖ img]
     (txt rows re-embed each step; in rags mode ALL active rows — txt and
     edited — attend as FRESH keys while their stale cache slots are
     bias-masked; reference inplace.py:736 instead rewrites them in place).
 
-    x: [B, T_act, H]; cache head-major over [B, H, S_stream, dh].
+    x: [B, T_act, H]; cache head-major over [B, H, S_kv_img, dh] (image
+    rows only; t_txt = number of leading txt rows in the stream, which are
+    never cached).
     """
     heads = cfg.heads
     shift, scale, gate = _modulation(p["mod"], temb_act, 3)
@@ -211,11 +213,14 @@ def single_block(p, cfg: MMDiTConfig, x, temb_act, rope, mode,
         attn = sdpa_cached(q, (k, v), cache_k, cache_v, bias=txt_bias)
     else:
         if mode == MODE_WRITE:
+            # cache the IMAGE rows only (txt rows re-embed every step)
+            k_img, v_img = k[:, :, t_txt:], v[:, :, t_txt:]
             if cfg.cache_int8:
                 from regione_tpu.ops.quant import quantize_kv_heads
-                new_cache = (quantize_kv_heads(k), quantize_kv_heads(v))
+                new_cache = (quantize_kv_heads(k_img),
+                             quantize_kv_heads(v_img))
             else:
-                new_cache = (k, v)
+                new_cache = (k_img, v_img)
         attn = sdpa(q, k, v, bias=txt_bias)
     out = linear(p["linear2"],
                  jnp.concatenate([attn, jax.nn.gelu(mlp_h, approximate=True)], -1))
@@ -230,8 +235,11 @@ def init_cache(cfg: MMDiTConfig, batch: int, s_kv_img: int, t_txt: int,
                dtype=None):
     """Zero-initialized Region-Instruction KV cache pytree.
 
-    double blocks cache the image stream ([noise ‖ condition] rows at cache
-    time); single blocks cache the full [txt ‖ image] stream.
+    Both block families cache only the IMAGE rows ([noise ‖ condition]):
+    txt rows re-embed every step (fresh keys in rags mode), so caching
+    them — as the reference's single-block processors do, inplace.py:736 —
+    would store rows that are permanently stale/masked.  (`t_txt` is kept
+    in the signature for call-site symmetry but no longer affects shapes.)
 
     Layout is [L, B, H, S, dh] — per-head rows CONTIGUOUS.  The reference
     stores merged [S, H*dh] rows (a torch convention); on TPU that layout
@@ -243,6 +251,7 @@ def init_cache(cfg: MMDiTConfig, batch: int, s_kv_img: int, t_txt: int,
 
     With cfg.cache_int8 the K/V arrays are int8 plus per-(row, head) f32
     scale leaves ("dk_s", ...) of shape [L, B, H, S]."""
+    del t_txt
     dtype = dtype or (jnp.int8 if cfg.cache_int8 else cfg.dtype)
     h, dh = cfg.heads, cfg.head_dim
     cache = {
@@ -251,17 +260,16 @@ def init_cache(cfg: MMDiTConfig, batch: int, s_kv_img: int, t_txt: int,
     }
     if cfg.depth_single:
         cache["sk"] = jnp.zeros(
-            (cfg.depth_single, batch, h, t_txt + s_kv_img, dh), dtype)
+            (cfg.depth_single, batch, h, s_kv_img, dh), dtype)
         cache["sv"] = jnp.zeros(
-            (cfg.depth_single, batch, h, t_txt + s_kv_img, dh), dtype)
+            (cfg.depth_single, batch, h, s_kv_img, dh), dtype)
     if cfg.cache_int8:
         cache["dk_s"] = jnp.full((cfg.depth_double, batch, h, s_kv_img),
                                  1e-12, jnp.float32)
         cache["dv_s"] = cache["dk_s"]
         if cfg.depth_single:
             cache["sk_s"] = jnp.full(
-                (cfg.depth_single, batch, h, t_txt + s_kv_img), 1e-12,
-                jnp.float32)
+                (cfg.depth_single, batch, h, s_kv_img), 1e-12, jnp.float32)
             cache["sv_s"] = cache["sk_s"]
     return cache
 
@@ -346,12 +354,10 @@ def mmdit_forward(
         dbl_bias = jnp.concatenate(
             [base_txt, fresh_edit, base_img + stale_img], axis=-1
         )[:, None, None, :]
-        # single-block cache covers [txt ‖ img]: its txt slots are always
-        # stale (txt re-embeds each step, reference inplace.py:736)
-        sgl_bias = jnp.concatenate(
-            [base_txt, fresh_edit,
-             jnp.full((b, t_txt), -1e30, jnp.float32),
-             base_img + stale_img], axis=-1)[:, None, None, :]
+        # single blocks see the same [fresh(txt+edited) ‖ cached img] key
+        # layout: their cache stores image rows only (txt rows would be
+        # permanently stale/masked, so they are not cached at all)
+        sgl_bias = dbl_bias
 
     # ---- double-stream depth under scan ----
     if mode == MODE_DENSE:
@@ -448,7 +454,7 @@ def mmdit_forward(
                 sc, sk, sv, i = carry
                 sc, (nk, nv) = single_block(
                     pl, cfg, sc, temb_act, rope_stream, mode,
-                    None, None, txt_bias)
+                    None, None, txt_bias, t_txt=t_txt)
                 return (sc, _store(sk, nk, i), _store(sv, nv, i),
                         i + 1), None
 

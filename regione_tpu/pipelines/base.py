@@ -187,9 +187,9 @@ class EditPipelineBase:
         t = jnp.full((b,), sigma, self.cfg.dtype)
         # The sampler pads ids with sentinel S_noise (invalid for latents but
         # a REAL row — the first condition token — in the S_kv=2*S_noise KV
-        # cache).  Remap invalid slots past the end of every cache (the
-        # single-block cache adds t_txt, so s_kv + t_txt stays OOB too) so
-        # padded K/V writes are dropped, never corrupting condition rows.
+        # cache).  Remap invalid slots to S_kv (one past the cache): the
+        # frozen-cache bias treats id==S_kv as a masked fresh column and its
+        # stale-row scatter drops it, so pads never touch real rows.
         s_noise = ctx.extra.get("s_noise", ctx.cond_latent.shape[1])
         s_kv = s_noise + ctx.cond_latent.shape[1]
         ids_cache = jnp.where(ids < s_noise, ids, s_kv)

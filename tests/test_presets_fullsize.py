@@ -78,5 +78,6 @@ def test_fullsize_forward_traces_at_production_geometry(preset):
     assert cache["dk"].shape == (cfg.depth_double, b, cfg.heads, s_kv,
                                  cfg.head_dim)
     if cfg.depth_single:
+        # image rows only — txt rows re-embed every step and are not cached
         assert cache["sk"].shape == (cfg.depth_single, b, cfg.heads,
-                                     t_txt + s_kv, cfg.head_dim)
+                                     s_kv, cfg.head_dim)
