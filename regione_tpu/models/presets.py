@@ -78,6 +78,15 @@ PRESETS: dict[str, MMDiTConfig] = {
         axes_dims=(4, 6, 6), time_embed_dim=32, mlp_ratio=2.0,
         in_channels=8, out_channels=8, dtype=jnp.float32,
     ),
+    # virtual-mesh sharding tests / driver dryrun: head count (8) and all
+    # feature dims divisible by tp=4 so the (dp=2, tp=4) mesh genuinely
+    # shards every rule in regione_tpu.parallel.sharding.
+    "tiny-tp": MMDiTConfig(
+        hidden=128, heads=8, head_dim=16, depth_double=2, depth_single=2,
+        txt_in_dim=16, pooled_dim=8, guidance_embed=False,
+        axes_dims=(4, 6, 6), time_embed_dim=32, mlp_ratio=2.0,
+        in_channels=8, out_channels=8, dtype=jnp.float32,
+    ),
     "tiny-qwen": MMDiTConfig(
         hidden=32, heads=2, head_dim=16, depth_double=3, depth_single=0,
         txt_in_dim=16, pooled_dim=0, guidance_embed=False,
