@@ -1,0 +1,189 @@
+"""Full-topology 12B Step1X-Edit on ONE v5e chip: int8 weights + int8 KV
+cache, RegionE vs dense 28-step denoise.
+
+VERDICT r1 item 3: "attempt int8 full-topology Step1X/FLUX on the single
+v5e — measure speedup and record the memory plan; if it doesn't fit, find
+and document the largest config that does."
+
+The memory plan (regione_tpu.utils.memplan) for the full 19+38-block
+hidden-3072 backbone (12.31B params — reference Step1X-Edit size,
+src/Step1X-Edit/modules/model.py config):
+
+    grid 64 (1024px), int8 weights + bf16 cache : 22.96 GiB  — no
+    grid 64 (1024px), int8 weights + int8 cache : 17.62 GiB  — no
+    grid 48 ( 768px), int8 weights + int8 cache : 14.95 GiB  — marginal
+    grid 40 ( 640px), int8 weights + int8 cache : ~14.1 GiB  — yes
+
+so the largest single-chip configuration is the FULL 12B topology at a
+reduced token grid; 1024px at full size needs tp=2 (validated shape-level
+on the virtual mesh, tests/test_parallel.py).  Weights are random but
+distribution-matched (ops.quant.init_quantized) — runtime depends only on
+shapes/dtypes, and fidelity is still meaningful because RegionE is compared
+against the dense run of the SAME quantized model.
+
+Writes FULLSIZE.json at the repo root and prints the same one-line JSON
+schema as bench.py.
+
+Usage:  timeout 3000 python scripts/bench_fullsize.py [--grid 48] [--t-txt 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(f"[fullsize] {msg}", file=sys.stderr, flush=True)
+
+
+def psnr(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    peak = float(max(a.max() - a.min(), 1e-9))
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", type=int, default=48)
+    ap.add_argument("--t-txt", type=int, default=128)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "FULLSIZE.json"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+    def sync(x):
+        return float(jnp.sum(x))
+
+    from regione_tpu.core.config import RegionEParams
+    from regione_tpu.models.mmdit import param_count
+    from regione_tpu.models.presets import get_config
+    from regione_tpu.ops.quant import init_quantized
+    from regione_tpu.pipelines.base import EditInputs
+    from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
+    from regione_tpu.utils.memplan import plan
+
+    GRID, T_TXT = args.grid, args.t_txt
+    preset = "step1x-edit"
+    cfg = dataclasses.replace(get_config(preset), cache_int8=True)
+
+    mp = plan(preset, grid=GRID, t_txt=T_TXT, tp=1, int8=True,
+              quantize_mods=True, cache_dtype=jnp.int8)
+    log(f"memplan: params {mp.param_bytes_per_device/2**30:.2f} GiB, "
+        f"cache {mp.cache_bytes_per_device/2**30:.2f} GiB, "
+        f"total {mp.total_bytes_per_device/2**30:.2f} GiB, "
+        f"fits v5e: {mp.fits('v5e')}")
+
+    log("initializing 12.3B int8 weights on device...")
+    t0 = time.perf_counter()
+    params = init_quantized(jax.random.PRNGKey(0), cfg, quantize_mods=True)
+    sync(params["double"]["img_mod"]["scale"])
+    log(f"init {time.perf_counter()-t0:.1f}s; "
+        f"{param_count(params)/1e9:.2f}B leaves resident")
+
+    re = RegionEParams().replace(threshold=0.88, cache_threshold=0.02)
+    pipe = Step1XEditPipeline(cfg, params, re)
+
+    rng = np.random.default_rng(110)
+    s = GRID * GRID
+    rope_img, rope_txt = pipe.build_rope(GRID, GRID, T_TXT)
+    lat0 = jnp.asarray(rng.standard_normal((1, s, cfg.in_channels)),
+                       jnp.float32)
+    ctx = EditInputs(
+        txt=jnp.asarray(rng.standard_normal((2, T_TXT, cfg.txt_in_dim)),
+                        cfg.dtype),
+        cond_latent=jnp.asarray(rng.standard_normal((1, s, cfg.in_channels)),
+                                jnp.float32),
+        rope_img=rope_img, rope_txt=rope_txt,
+        pooled=jnp.asarray(rng.standard_normal((2, cfg.pooled_dim)),
+                           cfg.dtype),
+    )
+
+    # pinned ~25% region (the adaptive path is HW-validated at dev scale by
+    # bench.py; here the question is full-size fit + speed, so avoid the
+    # extra full-size x0-probe compiles)
+    q = GRID // 2
+    fblock = np.zeros((GRID, GRID), bool)
+    fblock[:q, :q] = True
+    forced_mask = jnp.asarray(fblock.reshape(-1))
+
+    log("compiling dense baseline (28 steps, 12B)...")
+    t0 = time.perf_counter()
+    out_dense = pipe.edit_latents(lat0, ctx, GRID, GRID, dense_only=True)[0]
+    sync(out_dense)
+    log(f"dense compile+run {time.perf_counter()-t0:.1f}s")
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        out_dense = pipe.edit_latents(lat0, ctx, GRID, GRID,
+                                      dense_only=True)[0]
+        sync(out_dense)
+        times.append(time.perf_counter() - t0)
+        log(f"dense run {times[-1]:.2f}s")
+    t_dense = min(times)
+
+    log("compiling RegionE path...")
+    t0 = time.perf_counter()
+    out_re, stats = pipe.edit_latents(lat0, ctx, GRID, GRID,
+                                      forced_mask=forced_mask)
+    sync(out_re)
+    log(f"regione compile+run {time.perf_counter()-t0:.1f}s")
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        out_re, stats = pipe.edit_latents(lat0, ctx, GRID, GRID,
+                                          forced_mask=forced_mask)
+        sync(out_re)
+        times.append(time.perf_counter() - t0)
+        log(f"regione run {times[-1]:.2f}s")
+    t_re = min(times)
+
+    speedup = t_dense / t_re
+    row = {
+        "metric": "full-size 12B Step1X single-chip edit speedup "
+                  "(int8 weights + int8 KV cache)",
+        "value": round(speedup, 4),
+        "unit": "x",
+        "vs_baseline": round(speedup / 2.572, 4),
+        "dense_s": round(t_dense, 4),
+        "regione_s": round(t_re, 4),
+        "psnr_latent_vs_dense": round(psnr(out_dense, out_re), 2),
+        "edited_tokens": stats.edited_tokens,
+        "capacity": stats.capacity,
+        "seq_len": stats.seq_len,
+        "reuse_steps": stats.reuse_steps,
+        "params": param_count(params),
+        "grid": GRID,
+        "resolution_px": GRID * 16,
+        "memplan_total_gib": round(mp.total_bytes_per_device / 2**30, 3),
+        "model": preset,
+        "device": str(jax.devices()[0]),
+    }
+    with open(args.out, "w") as f:
+        json.dump(row, f, indent=2)
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

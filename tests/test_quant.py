@@ -64,3 +64,27 @@ def test_quantized_model_forward_close_and_smaller():
     rel = (np.linalg.norm(np.asarray(v_q - v_full)) /
            (np.linalg.norm(np.asarray(v_full)) + 1e-9))
     assert rel < 0.15, f"quantized forward diverged: rel={rel}"
+
+
+def test_init_quantized_matches_quantize_params_structure():
+    """ops.quant.init_quantized must produce exactly the tree that
+    quantize_params(init_mmdit(...)) would — same treedef, shapes, dtypes —
+    and a usable (finite) model, without ever materializing bf16 weights
+    (the 12B full-size bring-up path, scripts/bench_fullsize.py)."""
+    import jax
+    from regione_tpu.models.mmdit import init_mmdit
+    from regione_tpu.models.presets import get_config
+    from regione_tpu.ops.quant import init_quantized, quantize_params
+
+    cfg = get_config("tiny")
+    ref = quantize_params(init_mmdit(jax.random.PRNGKey(0), cfg),
+                          quantize_mods=True)
+    got = init_quantized(jax.random.PRNGKey(0), cfg, quantize_mods=True)
+    rf = jax.tree_util.tree_flatten_with_path(ref)
+    gf = jax.tree_util.tree_flatten_with_path(got)
+    assert rf[1] == gf[1]
+    for (pr, lr), (_, lg) in zip(rf[0], gf[0]):
+        assert lr.shape == lg.shape and lr.dtype == lg.dtype, pr
+    # scales positive, w_q within int8 symmetric range
+    assert float(got["double"]["img_attn"]["q"]["scale"].min()) > 0
+    assert int(abs(got["double"]["img_attn"]["q"]["w_q"]).max()) <= 127
