@@ -264,13 +264,16 @@ def init_cache(cfg: MMDiTConfig, batch: int, s_kv_img: int, t_txt: int,
         cache["sv"] = jnp.zeros(
             (cfg.depth_single, batch, h, s_kv_img, dh), dtype)
     if cfg.cache_int8:
-        cache["dk_s"] = jnp.full((cfg.depth_double, batch, h, s_kv_img),
-                                 1e-12, jnp.float32)
-        cache["dv_s"] = cache["dk_s"]
+        # NB: each scale leaf must be a DISTINCT array — aliasing one
+        # buffer into two pytree slots breaks donation (donating the same
+        # buffer for two parameters is an InvalidArgument on TPU)
+        def scales(depth):
+            return jnp.full((depth, batch, h, s_kv_img), 1e-12, jnp.float32)
+        cache["dk_s"] = scales(cfg.depth_double)
+        cache["dv_s"] = scales(cfg.depth_double)
         if cfg.depth_single:
-            cache["sk_s"] = jnp.full(
-                (cfg.depth_single, batch, h, s_kv_img), 1e-12, jnp.float32)
-            cache["sv_s"] = cache["sk_s"]
+            cache["sk_s"] = scales(cfg.depth_single)
+            cache["sv_s"] = scales(cfg.depth_single)
     return cache
 
 

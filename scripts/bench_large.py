@@ -1,9 +1,11 @@
 """Largest-fitting single-chip benchmark: block-identical Step1X topology.
 
-The full 12B Step1X cannot fit one 16 GiB v5e next to its 57-block KV cache
-(utils/memplan: 23.6 GiB int8).  The largest BLOCK-IDENTICAL config that
-fits is depth 11 double + 22 single at the full hidden=3072/heads=24 —
-every block is byte-identical in shape to the production 12B model's, so
+NOTE: superseded for the full-model claim by scripts/bench_fullsize.py —
+with the int8 KV cache the FULL 12.3B topology now runs on one v5e at
+grid 44 (704px; FULLSIZE.json).  This script keeps the 1024px-grid
+variant: the largest BLOCK-IDENTICAL config at the full 4096-token grid
+is depth 11 double + 22 single at the full hidden=3072/heads=24 — every
+block is byte-identical in shape to the production 12B model's, so
 per-block step time extrapolates directly; only the block count is ~0.58x.
 
 Usage:  python scripts/bench_large.py [--steps-only]
