@@ -182,6 +182,14 @@ def double_block(p, cfg: MMDiTConfig, img, txt, temb_act, rope_img, rope_txt,
     return img, txt, new_cache
 
 
+def _slice_out(p, a, b):
+    """Slice a (possibly int8-quantized) linear's OUTPUT channels [a:b]."""
+    if "w_q" in p:
+        return {"w_q": p["w_q"][:, a:b], "scale": p["scale"][:, a:b],
+                "b": p["b"][a:b]}
+    return {"w": p["w"][:, a:b], "b": p["b"][a:b]}
+
+
 def single_block(p, cfg: MMDiTConfig, x, temb_act, rope, mode,
                  cache_k, cache_v, txt_bias=None, t_txt: int = 0):
     """Flux-style single-stream block: fused qkv+mlp projection, parallel
@@ -198,8 +206,19 @@ def single_block(p, cfg: MMDiTConfig, x, temb_act, rope, mode,
     shift, scale, gate = _modulation(p["mod"], temb_act, 3)
     x_n = layernorm(x) * (1 + scale) + shift
 
-    fused = linear(p["linear1"], x_n)
-    qkv, mlp_h = jnp.split(fused, [3 * cfg.inner], axis=-1)
+    if mode == MODE_WRITE:
+        # Split the fused projection: qkv now, the MLP half AFTER attention
+        # (ordering pinned by an optimization barrier).  In write mode the
+        # cache-store extends buffer liveness enough that XLA's HLO remat
+        # pass otherwise re-runs the whole fused linear1 after attention to
+        # regenerate mlp_h ([B, S, mlp_hidden], ~196 MB at 12B scale) —
+        # +214 ms/step measured on v5e (38 blocks).  Deferring the MLP half
+        # keeps only x_n (~49 MB) live across attention, same total FLOPs.
+        qkv = linear(_slice_out(p["linear1"], 0, 3 * cfg.inner), x_n)
+        mlp_h = None
+    else:
+        fused = linear(p["linear1"], x_n)
+        qkv, mlp_h = jnp.split(fused, [3 * cfg.inner], axis=-1)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = rmsnorm(split_heads(q, heads), p["norm_q"]["scale"])
     k = rmsnorm(split_heads(k, heads), p["norm_k"]["scale"])
@@ -222,6 +241,9 @@ def single_block(p, cfg: MMDiTConfig, x, temb_act, rope, mode,
             else:
                 new_cache = (k_img, v_img)
         attn = sdpa(q, k, v, bias=txt_bias)
+    if mlp_h is None:  # write mode: deferred MLP half (see above)
+        x_n2, attn = jax.lax.optimization_barrier((x_n, attn))
+        mlp_h = linear(_slice_out(p["linear1"], 3 * cfg.inner, None), x_n2)
     out = linear(p["linear2"],
                  jnp.concatenate([attn, jax.nn.gelu(mlp_h, approximate=True)], -1))
     return x + gate * out, new_cache
