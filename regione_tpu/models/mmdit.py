@@ -206,19 +206,17 @@ def single_block(p, cfg: MMDiTConfig, x, temb_act, rope, mode,
     shift, scale, gate = _modulation(p["mod"], temb_act, 3)
     x_n = layernorm(x) * (1 + scale) + shift
 
-    if mode == MODE_WRITE:
-        # Split the fused projection: qkv now, the MLP half AFTER attention
-        # (ordering pinned by an optimization barrier).  In write mode the
-        # cache-store extends buffer liveness enough that XLA's HLO remat
-        # pass otherwise re-runs the whole fused linear1 after attention to
-        # regenerate mlp_h ([B, S, mlp_hidden], ~196 MB at 12B scale) —
-        # +214 ms/step measured on v5e (38 blocks).  Deferring the MLP half
-        # keeps only x_n (~49 MB) live across attention, same total FLOPs.
-        qkv = linear(_slice_out(p["linear1"], 0, 3 * cfg.inner), x_n)
-        mlp_h = None
-    else:
-        fused = linear(p["linear1"], x_n)
-        qkv, mlp_h = jnp.split(fused, [3 * cfg.inner], axis=-1)
+    # Split the fused projection: qkv now, the MLP half AFTER attention
+    # (ordering pinned by an optimization barrier below).  Keeping the
+    # fused linear1's MLP half ([B, S, mlp_hidden], ~196 MB at 12B dense
+    # seq) live across attention makes XLA's HLO remat pass re-run the
+    # whole fused projection after attention whenever the surrounding
+    # program carries the KV cache (write steps, and even plain dense
+    # steps inside the sampler's jitted segments: trace showed remat ×190
+    # for the 5 warm steps × 38 blocks, +~5.6 ms/block on v5e at 12B).
+    # Deferring the MLP half keeps only x_n (~49 MB) live.  Same FLOPs,
+    # bit-identical output (tests/test_sampler_tiny.py oracle).
+    qkv = linear(_slice_out(p["linear1"], 0, 3 * cfg.inner), x_n)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = rmsnorm(split_heads(q, heads), p["norm_q"]["scale"])
     k = rmsnorm(split_heads(k, heads), p["norm_k"]["scale"])
@@ -241,9 +239,9 @@ def single_block(p, cfg: MMDiTConfig, x, temb_act, rope, mode,
             else:
                 new_cache = (k_img, v_img)
         attn = sdpa(q, k, v, bias=txt_bias)
-    if mlp_h is None:  # write mode: deferred MLP half (see above)
-        x_n2, attn = jax.lax.optimization_barrier((x_n, attn))
-        mlp_h = linear(_slice_out(p["linear1"], 3 * cfg.inner, None), x_n2)
+    # deferred MLP half of linear1 (see the comment at the qkv projection)
+    x_n2, attn = jax.lax.optimization_barrier((x_n, attn))
+    mlp_h = linear(_slice_out(p["linear1"], 3 * cfg.inner, None), x_n2)
     out = linear(p["linear2"],
                  jnp.concatenate([attn, jax.nn.gelu(mlp_h, approximate=True)], -1))
     return x + gate * out, new_cache
