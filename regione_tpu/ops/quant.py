@@ -14,6 +14,8 @@ matmul's operand load).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -72,6 +74,38 @@ def quantized_bytes(params) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
 
 
+def _gen_like(tree, k, path=""):
+    """Random values matching a quantized-tree shape spec (see
+    init_quantized): per-out-channel scales from the U(-lim, lim) init
+    distribution, uniform int8 weights, ones for norm scales."""
+    if isinstance(tree, dict):
+        if "w_q" in tree:
+            d_in = tree["w_q"].shape[-2]
+            lim = 1.0 / (d_in ** 0.5)
+            return {
+                "w_q": jax.random.randint(
+                    k, tree["w_q"].shape, -127, 128, jnp.int8),
+                "scale": jnp.full(tree["scale"].shape, lim / 127.0,
+                                  jnp.float32),
+                "b": jnp.zeros(tree["b"].shape, tree["b"].dtype),
+            }
+        if "w" in tree and "b" in tree:
+            d_in = tree["w"].shape[-2]
+            lim = 1.0 / (d_in ** 0.5)
+            return {
+                "w": jax.random.uniform(k, tree["w"].shape,
+                                        tree["w"].dtype, -lim, lim),
+                "b": jnp.zeros(tree["b"].shape, tree["b"].dtype),
+            }
+        return {name: _gen_like(sub, jax.random.fold_in(k, i),
+                                f"{path}/{name}")
+                for i, (name, sub) in enumerate(sorted(tree.items()))}
+    # bare leaves: norm scales (ones) / stray biases (zeros)
+    if path.rsplit("/", 1)[-1] == "scale":
+        return jnp.ones(tree.shape, tree.dtype)
+    return jnp.zeros(tree.shape, tree.dtype)
+
+
 def init_quantized(key, cfg, quantize_mods: bool = True):
     """Random-init the int8-quantized MMDiT parameter tree DIRECTLY, never
     materializing the bf16 weights (the 12B Step1X bf16 init is ~24 GiB —
@@ -84,41 +118,25 @@ def init_quantized(key, cfg, quantize_mods: bool = True):
     w_q -> U{-127..127}.  Norm scales init to ones, biases to zeros, exactly
     as `init_mmdit` does.  Used by benchmarks only; real checkpoints go
     through weights.convert + quantize_params.
+
+    Generation is chunked into one device program per top-level subtree
+    ("double", "single", ...): a single ~11.5 GiB-output program has been
+    observed to wedge the remote TPU runtime when launched while a previous
+    process's buffers are still being torn down.
     """
     from regione_tpu.models.mmdit import init_mmdit
 
     shapes = jax.eval_shape(
         lambda k: quantize_params(init_mmdit(k, cfg),
                                   quantize_mods=quantize_mods), key)
-
-    def gen(tree, k, path=""):
-        if isinstance(tree, dict):
-            if "w_q" in tree:
-                d_in = tree["w_q"].shape[-2]
-                lim = 1.0 / (d_in ** 0.5)
-                return {
-                    "w_q": jax.random.randint(
-                        k, tree["w_q"].shape, -127, 128, jnp.int8),
-                    "scale": jnp.full(tree["scale"].shape, lim / 127.0,
-                                      jnp.float32),
-                    "b": jnp.zeros(tree["b"].shape, tree["b"].dtype),
-                }
-            if "w" in tree and "b" in tree:
-                d_in = tree["w"].shape[-2]
-                lim = 1.0 / (d_in ** 0.5)
-                return {
-                    "w": jax.random.uniform(k, tree["w"].shape,
-                                            tree["w"].dtype, -lim, lim),
-                    "b": jnp.zeros(tree["b"].shape, tree["b"].dtype),
-                }
-            return {name: gen(sub, jax.random.fold_in(k, i), f"{path}/{name}")
-                    for i, (name, sub) in enumerate(sorted(tree.items()))}
-        # bare leaves: norm scales (ones) / stray biases (zeros)
-        if path.rsplit("/", 1)[-1] == "scale":
-            return jnp.ones(tree.shape, tree.dtype)
-        return jnp.zeros(tree.shape, tree.dtype)
-
-    return jax.jit(lambda k: gen(shapes, k))(key)
+    out = {}
+    for i, (name, sub) in enumerate(sorted(shapes.items())):
+        sub_key = jax.random.fold_in(key, i)
+        chunk = jax.jit(functools.partial(_gen_like, sub, path=f"/{name}"))(
+            k=sub_key)
+        jax.block_until_ready(chunk)
+        out[name] = chunk
+    return out
 
 
 # ---------------------------------------------------------------------------
