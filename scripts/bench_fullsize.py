@@ -1,5 +1,5 @@
-"""Full-topology 12B Step1X-Edit on ONE v5e chip: int8 weights + int8 KV
-cache, RegionE vs dense 28-step denoise.
+"""Full-topology 12B Step1X-Edit / FLUX.1-Kontext on ONE v5e chip: int8
+weights + int8 KV cache, RegionE vs dense 28-step denoise.
 
 VERDICT r1 item 3: "attempt int8 full-topology Step1X/FLUX on the single
 v5e — measure speedup and record the memory plan; if it doesn't fit, find
@@ -9,22 +9,28 @@ The memory plan (regione_tpu.utils.memplan) for the full 19+38-block
 hidden-3072 backbone (12.31B params — reference Step1X-Edit size,
 src/Step1X-Edit/modules/model.py config):
 
-    grid 64 (1024px), int8 weights + bf16 cache : 22.96 GiB  — no
-    grid 64 (1024px), int8 weights + int8 cache : 17.62 GiB  — no
-    grid 48 ( 768px), int8 weights + int8 cache : 14.95 GiB  — marginal
-    grid 40 ( 640px), int8 weights + int8 cache : ~14.1 GiB  — yes
+    step1x grid 64 (1024px), int8 weights + bf16 cache : 22.96 GiB — no
+    step1x grid 64 (1024px), int8 weights + int8 cache : 17.62 GiB — no
+    step1x grid 48 ( 768px), int8 weights + int8 cache : 14.95 GiB — marginal
+    step1x grid 44 ( 704px), int8 weights + int8 cache : 14.41 GiB — YES
+    flux   grid 64 (1024px), int8 weights + int8 cache : 14.22 GiB — YES
 
-so the largest single-chip configuration is the FULL 12B topology at a
-reduced token grid; 1024px at full size needs tp=2 (validated shape-level
-on the virtual mesh, tests/test_parallel.py).  Weights are random but
-distribution-matched (ops.quant.init_quantized) — runtime depends only on
-shapes/dtypes, and fidelity is still meaningful because RegionE is compared
-against the dense run of the SAME quantized model.
+FLUX.1-Kontext (guidance-distilled, RegionE/FluxKontext/inplace.py) runs a
+SINGLE forward per step (guidance enters via the embedding, no CFG batch
+concat), so its KV cache is half of Step1X's — the full 12.06B FLUX fits
+one v5e at the reference's native 1024px grid.  Step1X's batch-concat CFG
+doubles the cache; its largest single-chip grid is 44 (704px); 1024px at
+full size needs tp=2 (validated shape-level on the virtual mesh,
+tests/test_parallel.py).  Weights are random but distribution-matched
+(ops.quant.init_quantized) — runtime depends only on shapes/dtypes, and
+fidelity is still meaningful because RegionE is compared against the dense
+run of the SAME quantized model.
 
-Writes FULLSIZE.json at the repo root and prints the same one-line JSON
-schema as bench.py.
+Writes FULLSIZE.json (step1x) / FULLSIZE_FLUX.json at the repo root and
+prints the same one-line JSON schema as bench.py.
 
-Usage:  timeout 3000 python scripts/bench_fullsize.py [--grid 48] [--t-txt 128]
+Usage:  timeout 3000 python scripts/bench_fullsize.py [--preset flux-kontext]
+            [--grid 48] [--t-txt 128]
 """
 
 from __future__ import annotations
@@ -57,13 +63,24 @@ def psnr(a, b):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--grid", type=int, default=48)
-    ap.add_argument("--t-txt", type=int, default=128)
+    ap.add_argument("--preset", default="step1x-edit",
+                    choices=["step1x-edit", "flux-kontext"])
+    ap.add_argument("--grid", type=int, default=None)
+    ap.add_argument("--t-txt", type=int, default=None)
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "FULLSIZE.json"))
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.grid is None:
+        args.grid = 64 if args.preset == "flux-kontext" else 48
+    if args.t_txt is None:
+        # reference text lengths: FLUX T5 max 512; Step1X Qwen2.5-VL prompts
+        # are short (the bench pads to 128)
+        args.t_txt = 512 if args.preset == "flux-kontext" else 128
+    if args.out is None:
+        name = ("FULLSIZE_FLUX.json" if args.preset == "flux-kontext"
+                else "FULLSIZE.json")
+        args.out = os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), name)
 
     import jax
     import jax.numpy as jnp
@@ -76,34 +93,40 @@ def main():
     def sync(x):
         return float(jnp.sum(x))
 
-    from regione_tpu.core.config import RegionEParams
+    from regione_tpu.core.config import DEFAULT_PARAMS
     from regione_tpu.models.mmdit import param_count
     from regione_tpu.models.presets import get_config
     from regione_tpu.ops.quant import init_quantized
     from regione_tpu.pipelines.base import EditInputs
+    from regione_tpu.pipelines.flux_kontext import FluxKontextPipeline
     from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
     from regione_tpu.utils.memplan import plan
 
     GRID, T_TXT = args.grid, args.t_txt
-    preset = "step1x-edit"
+    preset = args.preset
+    is_flux = preset == "flux-kontext"
     cfg = dataclasses.replace(get_config(preset), cache_int8=True)
+    batch_cfg = 1 if is_flux else 2  # flux: guidance-embedded single fwd
 
     mp = plan(preset, grid=GRID, t_txt=T_TXT, tp=1, int8=True,
-              quantize_mods=True, cache_dtype=jnp.int8)
+              batch_cfg=batch_cfg, quantize_mods=True, cache_dtype=jnp.int8)
     log(f"memplan: params {mp.param_bytes_per_device/2**30:.2f} GiB, "
         f"cache {mp.cache_bytes_per_device/2**30:.2f} GiB, "
         f"total {mp.total_bytes_per_device/2**30:.2f} GiB, "
         f"fits v5e: {mp.fits('v5e')}")
 
-    log("initializing 12.3B int8 weights on device...")
+    log(f"initializing {preset} int8 weights on device...")
     t0 = time.perf_counter()
     params = init_quantized(jax.random.PRNGKey(0), cfg, quantize_mods=True)
     sync(params["double"]["img_mod"]["scale"])
     log(f"init {time.perf_counter()-t0:.1f}s; "
         f"{param_count(params)/1e9:.2f}B leaves resident")
 
-    re = RegionEParams().replace(threshold=0.88, cache_threshold=0.02)
-    pipe = Step1XEditPipeline(cfg, params, re)
+    re = DEFAULT_PARAMS[preset]
+    if is_flux:
+        pipe = FluxKontextPipeline(cfg, params, re, guidance_scale=2.5)
+    else:
+        pipe = Step1XEditPipeline(cfg, params, re)
 
     rng = np.random.default_rng(110)
     s = GRID * GRID
@@ -111,13 +134,15 @@ def main():
     lat0 = jnp.asarray(rng.standard_normal((1, s, cfg.in_channels)),
                        jnp.float32)
     ctx = EditInputs(
-        txt=jnp.asarray(rng.standard_normal((2, T_TXT, cfg.txt_in_dim)),
-                        cfg.dtype),
+        txt=jnp.asarray(rng.standard_normal((batch_cfg, T_TXT,
+                                             cfg.txt_in_dim)), cfg.dtype),
         cond_latent=jnp.asarray(rng.standard_normal((1, s, cfg.in_channels)),
                                 jnp.float32),
         rope_img=rope_img, rope_txt=rope_txt,
-        pooled=jnp.asarray(rng.standard_normal((2, cfg.pooled_dim)),
+        pooled=jnp.asarray(rng.standard_normal((batch_cfg, cfg.pooled_dim)),
                            cfg.dtype),
+        guidance=(jnp.full((batch_cfg,), 2.5, jnp.float32)
+                  if cfg.guidance_embed else None),
     )
 
     # pinned ~25% region (the adaptive path is HW-validated at dev scale by
@@ -160,12 +185,13 @@ def main():
     t_re = min(times)
 
     speedup = t_dense / t_re
+    ref_headline = 2.409 if is_flux else 2.572  # assets/result.jpg rows
     row = {
-        "metric": "full-size 12B Step1X single-chip edit speedup "
-                  "(int8 weights + int8 KV cache)",
+        "metric": f"full-size 12B {'FLUX.1-Kontext' if is_flux else 'Step1X'}"
+                  " single-chip edit speedup (int8 weights + int8 KV cache)",
         "value": round(speedup, 4),
         "unit": "x",
-        "vs_baseline": round(speedup / 2.572, 4),
+        "vs_baseline": round(speedup / ref_headline, 4),
         "dense_s": round(t_dense, 4),
         "regione_s": round(t_re, 4),
         "psnr_latent_vs_dense": round(psnr(out_dense, out_re), 2),

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--cap", type=int, default=1024)
     ap.add_argument("--cache-int8", action="store_true")
     ap.add_argument("--no-donate", action="store_true")
+    ap.add_argument("--auto-layout", action="store_true",
+                    help="compile with Format(Layout.AUTO) entry layouts "
+                         "(XLA picks param layouts; probes whether the "
+                         "684 MB stacked-int8-weight relayout temps vanish)")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +63,12 @@ def main():
     sampler = pipe.sampler_for(GRID, GRID, T_TXT, batch_cache=2)
     if args.no_donate:
         sampler._rest_jit = jax.jit(sampler._rest)
+    if args.auto_layout:
+        from jax.experimental.layout import Format, Layout
+        sampler._rest_jit = jax.jit(
+            sampler._rest, donate_argnums=() if args.no_donate else (0, 3),
+            in_shardings=Format(Layout.AUTO),
+            out_shardings=Format(Layout.AUTO))
 
     cache_abs = abstract(jax.eval_shape(
         lambda: init_cache(cfg, 2, s_kv, T_TXT)))
