@@ -65,8 +65,13 @@ def build_pipeline(args):
             args.model_path, cfg)
     else:
         params = init_mmdit(jax.random.PRNGKey(args.seed), cfg)
-        vae_cfg = V.VAEConfig(block_out_channels=(32, 64),
-                              norm_num_groups=16, layers_per_block=1,
+        # 4 resolution levels -> spatial_factor 8, token_factor 16: the
+        # mock VAE must match the PRODUCTION latent geometry, or the
+        # default ~1024^2 target_resolution yields a 256x256 token grid
+        # (65k tokens) instead of 64x64 and the dense attention logits
+        # alone exceed any device's memory
+        vae_cfg = V.VAEConfig(block_out_channels=(8, 16, 32, 64),
+                              norm_num_groups=8, layers_per_block=1,
                               latent_channels=cfg.in_channels // 4)
         vae_params = init_vae_cached(vae_cfg, args.seed)
         encoder = MockTextEncoder(cfg.txt_in_dim,

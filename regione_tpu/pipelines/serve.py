@@ -76,12 +76,16 @@ class EditService:
         vmapped device program (core.sampler.sample_batch) — higher MXU
         occupancy than sequential single-image runs.
 
-        Memory note: each image carries its own KV-cache set (~2.5 GB at
-        the 1.26B/1024^2 dev scale), so max_batch is bounded by HBM on one
-        chip (dev scale: batch 2 already exceeds a 16 GB v5e).  Pass a
-        `mesh` with a "dp" axis to spread the request batch across chips:
-        the batch leaves are placed on P("dp") and GSPMD keeps each
-        image's KV-cache set on its own device."""
+        Memory note: each image carries its own KV-cache set (~2.4 GiB
+        bf16 at the 1.26B/1024^2 dev scale — batch 2 exceeds a 16 GB v5e;
+        with cfg.cache_int8 each set halves and batch 2 FITS one chip:
+        scripts/bench_serve_batch.py measured 3.98 s/image batched vs
+        3.90 s/image sequential, i.e. the chip is already
+        MXU/bandwidth-saturated per image, so single-chip batching buys
+        fit headroom rather than throughput).  Pass a `mesh` with a "dp"
+        axis to spread the request batch across chips for real
+        throughput scaling: the batch leaves are placed on P("dp") and
+        GSPMD keeps each image's KV-cache set on its own device."""
         from regione_tpu.models import vae as V
         prepped = []
         for req in requests:

@@ -1,0 +1,144 @@
+"""Single-chip batched-serving benchmark: N same-geometry edit requests
+in ONE vmapped device program (core.sampler.sample_batch).
+
+Round-1 state: at dev scale (1.26B, 1024^2 grid) batch 2 exceeded one
+16 GB v5e because each image carries its own bf16 KV-cache set (~2.4 GiB)
+plus the batched dense-step activations (pipelines/serve.py memory note).
+With the int8 KV cache (ops.quant, cfg.cache_int8) each set halves, and
+batch 2 fits a single chip — this script measures the realized
+throughput gain over sequential single-image runs.
+
+Usage:  timeout 1800 python scripts/bench_serve_batch.py [--batch 2]
+Prints one JSON line: per-image latency batched vs sequential.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(m):
+    print(f"[serve_batch] {m}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--grid", type=int, default=64)
+    ap.add_argument("--t-txt", type=int, default=128)
+    ap.add_argument("--preset", default="step1x-edit:dev")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+    def sync(x):
+        return float(jnp.sum(x))
+
+    from regione_tpu.core.config import RegionEParams
+    from regione_tpu.models.mmdit import init_mmdit_jit as init_mmdit
+    from regione_tpu.models.presets import get_config
+    from regione_tpu.pipelines.base import EditInputs
+    from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
+
+    GRID, T_TXT, B = args.grid, args.t_txt, args.batch
+    cfg = dataclasses.replace(get_config(args.preset), cache_int8=True)
+    params = init_mmdit(jax.random.PRNGKey(0), cfg)
+    re = RegionEParams().replace(threshold=0.88, cache_threshold=0.02)
+    pipe = Step1XEditPipeline(cfg, params, re)
+
+    rng = np.random.default_rng(110)
+    s = GRID * GRID
+    rope_img, rope_txt = pipe.build_rope(GRID, GRID, T_TXT)
+
+    def mk_req(i):
+        r = np.random.default_rng(110 + i)
+        lat0 = jnp.asarray(r.standard_normal((1, s, cfg.in_channels)),
+                           jnp.float32)
+        ctx = EditInputs(
+            txt=jnp.asarray(r.standard_normal((2, T_TXT, cfg.txt_in_dim)),
+                            cfg.dtype),
+            cond_latent=jnp.asarray(
+                r.standard_normal((1, s, cfg.in_channels)), jnp.float32),
+            rope_img=rope_img, rope_txt=rope_txt,
+            pooled=jnp.asarray(r.standard_normal((2, cfg.pooled_dim)),
+                               cfg.dtype),
+        )
+        return lat0, ctx
+
+    reqs = [mk_req(i) for i in range(B)]
+    q = GRID // 2
+    fblock = np.zeros((GRID, GRID), bool)
+    fblock[:q, :q] = True
+    fmask = jnp.asarray(fblock.reshape(-1))
+
+    # ---- sequential single-image baseline -------------------------------
+    log("compiling single-image path...")
+    for lat0, ctx in reqs[:1]:
+        out, _ = pipe.edit_latents(lat0, ctx, GRID, GRID, forced_mask=fmask)
+        sync(out)
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        for lat0, ctx in reqs:
+            out, _ = pipe.edit_latents(lat0, ctx, GRID, GRID,
+                                       forced_mask=fmask)
+            sync(out)
+        times.append((time.perf_counter() - t0) / B)
+    t_seq = min(times)
+    log(f"sequential: {t_seq:.3f}s/image")
+
+    # ---- one vmapped batch program --------------------------------------
+    log(f"compiling batch-{B} path...")
+    lats = [r[0] for r in reqs]
+    ctxs = [r[1] for r in reqs]
+    outs, stats = pipe.edit_latents_batch(lats, ctxs, GRID, GRID,
+                                          forced_masks=[fmask] * B)
+    sync(outs[0])
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        outs, stats = pipe.edit_latents_batch(lats, ctxs, GRID, GRID,
+                                              forced_masks=[fmask] * B)
+        sync(outs[0])
+        times.append((time.perf_counter() - t0) / B)
+    t_bat = min(times)
+    log(f"batched: {t_bat:.3f}s/image")
+
+    # parity: batched output must match the single-image output
+    ref, _ = pipe.edit_latents(lats[0], ctxs[0], GRID, GRID,
+                               forced_mask=fmask)
+    err = float(jnp.max(jnp.abs(outs[0] - ref)))
+
+    print(json.dumps({
+        "metric": f"batch-{B} single-chip serving throughput gain "
+                  "(int8 KV cache)",
+        "value": round(t_seq / t_bat, 4),
+        "unit": "x",
+        "vs_baseline": round(t_seq / t_bat, 4),
+        "seq_s_per_image": round(t_seq, 4),
+        "batched_s_per_image": round(t_bat, 4),
+        "batch": B,
+        "max_abs_err_vs_single": err,
+        "model": args.preset,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

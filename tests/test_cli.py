@@ -43,6 +43,25 @@ def tiny_cli(monkeypatch):
     return cli
 
 
+def test_cli_mock_vae_production_geometry():
+    """The --random_weights mock VAE must have the production spatial
+    factor (8 -> token_factor 16): with a 2-level VAE the default ~1024^2
+    target resolution used to produce a 256x256 token grid (65k tokens),
+    whose dense attention logits alone need ~256 GiB."""
+    import argparse
+    from regione_tpu.cli import main as cli
+
+    ns = argparse.Namespace(
+        backend="step1x-edit", preset="tiny", dev=False, model_path=None,
+        seed=0, warmup_step=6, post_step=2, refresh_step="16",
+        threshold=0.88, cache_threshold=0.02, erosion_dilation=True,
+        use_regione=True, int8=False)
+    pipe = cli.build_pipeline(ns)
+    assert pipe.token_factor == 16
+    w, h = pipe.target_resolution(1024, 1024)
+    assert (h // pipe.token_factor, w // pipe.token_factor) == (64, 64)
+
+
 def test_cli_demo_mode(tiny_cli, tmp_path):
     from PIL import Image
     img = (np.random.default_rng(0).random((32, 32, 3)) * 255).astype(np.uint8)
