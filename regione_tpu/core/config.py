@@ -66,7 +66,7 @@ class RegionEParams:
     erosion_dilation: bool = True
     similarity_type: str = "cosine"
     rags_capacity: int | None = None
-    capacity_granularity: int = 256
+    capacity_granularity: int = 128
     allow_custom_steps: bool = False
 
     def __post_init__(self):
@@ -123,9 +123,12 @@ def round_up(x: int, multiple: int) -> int:
     return -(-x // multiple) * multiple
 
 
-def pick_capacity(n_edited: int, seq_len: int, granularity: int = 256) -> int:
+def pick_capacity(n_edited: int, seq_len: int, granularity: int = 128) -> int:
     """Choose the static RAGS capacity bucket for a data-dependent edited
-    count.  Rounded up to `granularity` (MXU tiling) and clamped to seq_len.
-    A tiny number of buckets keeps recompilation bounded."""
+    count.  Rounded up to `granularity` (the MXU/VPU tile is 128; a coarser
+    multiple only wastes RAGS rows as padding — at a 48x48 grid a 576-token
+    quarter region would round to 768 under granularity 256, inflating
+    every RAGS step by 33%) and clamped to seq_len.  Buckets keep
+    recompilation bounded; compiled samplers are cached per bucket."""
     cap = max(granularity, round_up(max(int(n_edited), 1), granularity))
     return min(cap, seq_len)

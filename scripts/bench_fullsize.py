@@ -64,23 +64,33 @@ def psnr(a, b):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="step1x-edit",
-                    choices=["step1x-edit", "flux-kontext"])
+                    choices=["step1x-edit", "flux-kontext",
+                             "qwen-image-edit"])
     ap.add_argument("--grid", type=int, default=None)
     ap.add_argument("--t-txt", type=int, default=None)
+    ap.add_argument("--blocks", type=int, default=None,
+                    help="override depth_double (Qwen: the full 60-block "
+                         "20B needs tp=4 — scripts/dryrun_qwen_tp4.py; 36 "
+                         "blocks at the FULL production width is 12.3B and "
+                         "the largest single-chip config, per-block "
+                         "byte-identical to the 20B model's)")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    if args.grid is None:
-        args.grid = 64 if args.preset == "flux-kontext" else 48
-    if args.t_txt is None:
-        # reference text lengths: FLUX T5 max 512; Step1X Qwen2.5-VL prompts
-        # are short (the bench pads to 128)
-        args.t_txt = 512 if args.preset == "flux-kontext" else 128
+    defaults = {  # (grid, t_txt, blocks, artifact)
+        # reference text lengths: FLUX T5 max 512, Qwen chat-template
+        # prompts run to ~512; Step1X Qwen2.5-VL prompts are short (128)
+        "step1x-edit": (48, 128, None, "FULLSIZE.json"),
+        "flux-kontext": (64, 512, None, "FULLSIZE_FLUX.json"),
+        "qwen-image-edit": (48, 512, 36, "FULLSIZE_QWEN.json"),
+    }
+    dg, dt, db, dout = defaults[args.preset]
+    args.grid = args.grid if args.grid is not None else dg
+    args.t_txt = args.t_txt if args.t_txt is not None else dt
+    args.blocks = args.blocks if args.blocks is not None else db
     if args.out is None:
-        name = ("FULLSIZE_FLUX.json" if args.preset == "flux-kontext"
-                else "FULLSIZE.json")
         args.out = os.path.join(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))), name)
+            os.path.dirname(os.path.abspath(__file__))), dout)
 
     import jax
     import jax.numpy as jnp
@@ -99,16 +109,20 @@ def main():
     from regione_tpu.ops.quant import init_quantized
     from regione_tpu.pipelines.base import EditInputs
     from regione_tpu.pipelines.flux_kontext import FluxKontextPipeline
+    from regione_tpu.pipelines.qwen_image_edit import QwenImageEditPipeline
     from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
     from regione_tpu.utils.memplan import plan
 
     GRID, T_TXT = args.grid, args.t_txt
     preset = args.preset
     is_flux = preset == "flux-kontext"
+    is_qwen = preset == "qwen-image-edit"
     cfg = dataclasses.replace(get_config(preset), cache_int8=True)
+    if args.blocks is not None:
+        cfg = dataclasses.replace(cfg, depth_double=args.blocks)
     batch_cfg = 1 if is_flux else 2  # flux: guidance-embedded single fwd
 
-    mp = plan(preset, grid=GRID, t_txt=T_TXT, tp=1, int8=True,
+    mp = plan(cfg, grid=GRID, t_txt=T_TXT, tp=1, int8=True,
               batch_cfg=batch_cfg, quantize_mods=True, cache_dtype=jnp.int8)
     log(f"memplan: params {mp.param_bytes_per_device/2**30:.2f} GiB, "
         f"cache {mp.cache_bytes_per_device/2**30:.2f} GiB, "
@@ -125,6 +139,8 @@ def main():
     re = DEFAULT_PARAMS[preset]
     if is_flux:
         pipe = FluxKontextPipeline(cfg, params, re, guidance_scale=2.5)
+    elif is_qwen:
+        pipe = QwenImageEditPipeline(cfg, params, re)
     else:
         pipe = Step1XEditPipeline(cfg, params, re)
 
@@ -185,10 +201,17 @@ def main():
     t_re = min(times)
 
     speedup = t_dense / t_re
-    ref_headline = 2.409 if is_flux else 2.572  # assets/result.jpg rows
+    # assets/result.jpg reference headline rows
+    ref_headline = {"step1x-edit": 2.572, "flux-kontext": 2.409,
+                    "qwen-image-edit": 2.059}[preset]
+    label = {"step1x-edit": "full-size 12B Step1X",
+             "flux-kontext": "full-size 12B FLUX.1-Kontext",
+             "qwen-image-edit":
+                 f"production-width Qwen ({cfg.depth_double}/60 blocks, "
+                 f"{param_count(params)/1e9:.1f}B)"}[preset]
     row = {
-        "metric": f"full-size 12B {'FLUX.1-Kontext' if is_flux else 'Step1X'}"
-                  " single-chip edit speedup (int8 weights + int8 KV cache)",
+        "metric": f"{label} single-chip edit speedup "
+                  "(int8 weights + int8 KV cache)",
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / ref_headline, 4),

@@ -34,6 +34,9 @@ def main():
                     help="RAGS capacity (default: quarter of grid^2)")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--cache-int8", action="store_true")
+    ap.add_argument("--blocks", type=int, default=None,
+                    help="override depth_double (e.g. the 36-block "
+                         "single-chip Qwen config)")
     ap.add_argument("--runs", type=int, default=5)
     args = ap.parse_args()
 
@@ -89,6 +92,8 @@ def main():
     cfg = get_config(args.preset)
     if args.cache_int8:
         cfg = dataclasses.replace(cfg, cache_int8=True)
+    if args.blocks is not None:
+        cfg = dataclasses.replace(cfg, depth_double=args.blocks)
     params = (init_quantized(jax.random.PRNGKey(0), cfg, quantize_mods=True)
               if args.int8 else init_mmdit_jit(jax.random.PRNGKey(0), cfg))
     re = RegionEParams().replace(threshold=0.88, cache_threshold=0.02)

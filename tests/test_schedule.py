@@ -195,10 +195,14 @@ def test_plan_segments_default():
 
 
 def test_pick_capacity():
-    assert pick_capacity(1, 4096) == 256
-    assert pick_capacity(300, 4096) == 512
+    assert pick_capacity(1, 4096) == 128
+    assert pick_capacity(300, 4096) == 384
     assert pick_capacity(256, 4096) == 256
     assert pick_capacity(5000, 4096) == 4096
+    # MXU tile is 128; a 576-token quarter region at a 48x48 grid must not
+    # balloon to a 768 bucket (33% padded RAGS rows under granularity 256)
+    assert pick_capacity(576, 2304) == 640
+    assert pick_capacity(1, 4096, granularity=256) == 256
 
 
 def test_plan_property_fuzz_vs_reference_simulation():
