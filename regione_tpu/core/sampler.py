@@ -3,19 +3,28 @@
 Where the reference interleaves Python control flow, mutable singletons and
 device work every step (SURVEY.md §3.2: scalar `t.item()`, `.pop()`
 bookkeeping, AVD arithmetic on the host each of 28 iterations), this driver
-compiles the whole loop into exactly TWO jitted calls per image:
+compiles the whole loop into FOUR device-chained jitted calls per image
+with ONE host sync:
 
-  1. `_sts`:  dense stabilization steps + the partition split-step.  Ends at
-     the single unavoidable host sync: the edited-token count is data-
-     dependent, so the host reads the mask once and picks a static capacity
-     bucket (multiples of `capacity_granularity`, MXU-aligned).
-  2. `_rest`: everything from the first RAGS step to the end — RAGS scans,
-     dense refresh split-steps, merge/shrink layout transitions, and the SMS
-     steps — traced against the host-precomputed static stage plan
+  1. `_warm`: the dense stabilization scan.  Cache-free program.
+  2. `_part`: the partition split-step (cache-writing forward + edited-mask
+     selection).  Ends at the single unavoidable host sync: the edited-token
+     count is data-dependent, so the host reads the count once and picks a
+     static capacity bucket (multiples of `capacity_granularity`,
+     MXU-aligned).
+  3. `_rest`: RAGS scans, dense refresh split-steps, and merge/shrink layout
+     transitions — traced against the host-precomputed static stage plan
      (regione_tpu.core.schedule).  Uniform compute runs use `lax.scan`;
      adaptive-velocity-decay REUSE runs are statically known and collapse
      to a single closed-form fused multiply-add per run
      (lat += avd * sum(dt_i * ratio_i)) — zero model FLOPs.
+  4. `_sms`: the trailing dense smooth scan.  Cache-free program.
+
+The warm/SMS phases get their own programs so the multi-GiB KV cache is
+not in their live set: at the 12B-class single-chip scale a cache-carrying
+program sits close enough to the HBM limit that XLA's rematerialization
+pass re-runs the qkv/MLP projections of every dense step (~30-40% per-step
+overhead, measured on the production-width Qwen).
 
 Shape policy: latents stay full-length [B, S_noise, C] in fp32 (the
 reference also upcasts in the scheduler, inplace.py:615); the RAGS phase
@@ -87,14 +96,31 @@ class RegionESampler:
         self.rags_forward = rags_forward
         self.init_cache = init_cache
         self.progress_cb = progress_cb
-        self._sts_jit = jax.jit(self._sts)
+        # FOUR jitted segments, split so that the phases that never touch
+        # the KV cache (warm dense scan, SMS tail) compile WITHOUT the
+        # O(GB) cache in their live set.  A cache-carrying program close
+        # to the HBM limit makes XLA's rematerialization pass re-run the
+        # qkv/MLP projection fusions of every dense step (measured: 2.9 s
+        # of an 11.3 s production-width Qwen edit, ~30-40% overhead on
+        # every dense-mode step inside the old mixed _sts/_rest programs);
+        # keeping the cache out of the warm/SMS programs removes the
+        # pressure instead of fighting the scheduler.
+        #   _warm: dense stabilization scan            (no cache)
+        #   _part: partition split-step + cache build  (cache out)
+        #   _rest: RAGS runs + refresh split-steps     (cache in/out)
+        #   _sms : trailing dense smooth scan          (no cache)
+        # _warm takes the CALLER's latents — not donated; every later
+        # segment consumes sampler-owned buffers and donates them.
+        self._warm_jit = jax.jit(self._warm)
         # progress ticks use async host callbacks: the compiled loop has no
         # natural host boundary (unlike the reference's per-step tqdm,
         # inplace.py:337), so an opt-in jax.debug.callback fires per step.
+        self._part_jit = jax.jit(self._part, donate_argnums=(0,))
         # one jit; retraces automatically per capacity (ids shape).
         # latents + KV cache (args 0, 3) are donated: the cache pytree is
         # O(GB) for the big backbones and is dead after the call.
         self._rest_jit = jax.jit(self._rest, donate_argnums=(0, 3))
+        self._sms_jit = jax.jit(self._sms, donate_argnums=(0,))
 
     def _tick(self, idx):
         """Async per-step progress tick (opt-in)."""
@@ -116,8 +142,13 @@ class RegionESampler:
         import time as _time
         s_noise = latents0.shape[1]
         t0 = _time.perf_counter()
-        lat, mask, ids_sorted, cache = self._sts_jit(
-            latents0, cond_latent, ctx, forced_mask)
+        if self.re.warmup_step > 1:
+            lat = self._warm_jit(latents0, ctx)
+        else:
+            # _part donates its latents argument; never donate the CALLER's
+            lat = jnp.copy(latents0)
+        lat, mask, ids_sorted, cache = self._part_jit(
+            lat, cond_latent, ctx, forced_mask)
         # THE one host sync: only the scalar count crosses to the host (to
         # pick the static capacity bucket); the id set itself never leaves
         # the device (ids_sorted is sliced + sentinel-padded inside _rest)
@@ -141,6 +172,8 @@ class RegionESampler:
             ids_cap = jax.lax.slice(ids_sorted, (0,), (cap,))
         t1 = _time.perf_counter()
         lat, _ = self._rest_jit(lat, ids_cap, mask, cache, ctx)
+        if self._sms_steps:
+            lat = self._sms_jit(lat, ctx)
         rest_s = 0.0
         if timed:
             float(jnp.sum(lat))  # completion barrier (block_until_ready can
@@ -173,13 +206,23 @@ class RegionESampler:
         # cache the vmapped jits (a fresh closure per call would recompile)
         if not hasattr(self, "_batch_jits"):
             self._batch_jits = {}
-        key = ("sts", fm_axis, jax.tree.structure((ctx_axes,)))
+        tstruct = jax.tree.structure((ctx_axes,))
+        if self.re.warmup_step > 1:
+            wkey = ("warm", tstruct)
+            if wkey not in self._batch_jits:
+                self._batch_jits[wkey] = jax.jit(
+                    jax.vmap(self._warm, in_axes=(0, ctx_axes)))
+            lat_b = self._batch_jits[wkey](latents0_b, ctx_b)
+        else:
+            # the part segment donates its latents arg; never the caller's
+            lat_b = jnp.copy(latents0_b)
+        key = ("part", fm_axis, tstruct)
         if key not in self._batch_jits:
             self._batch_jits[key] = jax.jit(
-                jax.vmap(self._sts, in_axes=(0, 0, ctx_axes, fm_axis)))
-        sts_v = self._batch_jits[key]
-        lat_b, mask_b, _ids_sorted_b, cache_b = sts_v(
-            latents0_b, cond_b, ctx_b, forced_masks)
+                jax.vmap(self._part, in_axes=(0, 0, ctx_axes, fm_axis)),
+                donate_argnums=(0,))
+        lat_b, mask_b, _ids_sorted_b, cache_b = self._batch_jits[key](
+            lat_b, cond_b, ctx_b, forced_masks)
         counts = np.asarray(jax.device_get(jnp.sum(mask_b, axis=-1)))
         cap = self.re.rags_capacity or pick_capacity(
             int(counts.max()), s_noise, self.re.capacity_granularity)
@@ -194,13 +237,20 @@ class RegionESampler:
             ids_b = jax.device_put(
                 ids_b, jax.sharding.NamedSharding(
                     shd.mesh, jax.sharding.PartitionSpec(shd.spec[0])))
-        rkey = ("rest", jax.tree.structure((ctx_axes,)))
+        rkey = ("rest", tstruct)
         if rkey not in self._batch_jits:
             self._batch_jits[rkey] = jax.jit(
                 jax.vmap(self._rest, in_axes=(0, 0, 0, 0, ctx_axes)),
                 donate_argnums=(0, 3))
         lat_b, _ = self._batch_jits[rkey](lat_b, ids_b, mask_b, cache_b,
                                           ctx_b)
+        if self._sms_steps:
+            skey = ("sms", tstruct)
+            if skey not in self._batch_jits:
+                self._batch_jits[skey] = jax.jit(
+                    jax.vmap(self._sms, in_axes=(0, ctx_axes)),
+                    donate_argnums=(0,))
+            lat_b = self._batch_jits[skey](lat_b, ctx_b)
         stats = SampleStats(
             edited_tokens=int(counts.max()), capacity=cap, seq_len=s_noise,
             reuse_steps=sum(sp.reuse for sp in self.plan),
@@ -236,25 +286,32 @@ class RegionESampler:
     # segment 1: STS + partition
     # ------------------------------------------------------------------
 
-    def _sts(self, latents, cond_latent, ctx, forced_mask=None):
+    def _warm(self, latents, ctx):
+        """Dense stabilization scan (plan steps before the partition).
+        Cache-free by construction — compiling it WITHOUT the cache
+        argument keeps the big backbones' warm steps out of XLA's
+        rematerialization regime (see __init__)."""
         warm = self.plan[: self.re.warmup_step - 1]
+        lat = latents.astype(jnp.float32)
+        sig = jnp.array([sp.sigma for sp in warm], jnp.float32)
+        dts = jnp.array([sp.dt for sp in warm], jnp.float32)
+        idxs = jnp.array([sp.index for sp in warm], jnp.int32)
+
+        def body(l, xs):
+            s, dt, idx = xs
+            v, _ = self.dense_forward(l, s, None, ctx, False)
+            self._tick(idx)
+            return l + dt * v.astype(jnp.float32), None
+
+        lat, _ = jax.lax.scan(body, lat, (sig, dts, idxs))
+        return lat
+
+    def _part(self, latents, cond_latent, ctx, forced_mask=None):
+        """Partition split-step: one cache-writing forward, the edited-mask
+        selection, and the edited/unedited split-step."""
         part = self.plan[self.re.warmup_step - 1]
         assert part.sched_role == SCHED_PARTITION
         lat = latents.astype(jnp.float32)
-
-        if warm:
-            sig = jnp.array([sp.sigma for sp in warm], jnp.float32)
-            dts = jnp.array([sp.dt for sp in warm], jnp.float32)
-            idxs = jnp.array([sp.index for sp in warm], jnp.int32)
-
-            def body(l, xs):
-                s, dt, idx = xs
-                v, _ = self.dense_forward(l, s, None, ctx, False)
-                self._tick(idx)
-                return l + dt * v.astype(jnp.float32), None
-
-            lat, _ = jax.lax.scan(body, lat, (sig, dts, idxs))
-
         cache = self.init_cache()
         v, cache = self.dense_forward(lat, jnp.float32(part.sigma), cache, ctx, True)
         v = v.astype(jnp.float32)
@@ -284,6 +341,30 @@ class RegionESampler:
     # segment 2: RAGS / refresh / SMS
     # ------------------------------------------------------------------
 
+    @functools.cached_property
+    def _segments(self):
+        """(rest_segments, sms_tail): the post-warmup plan split into the
+        cache-phase segments run by _rest and the maximal trailing run of
+        plain dense (non-refresh) steps, which _sms runs in a cache-free
+        program."""
+        segs = plan_segments(self.plan[self.re.warmup_step:])
+        tail: list[StepPlan] = []
+        if segs and segs[-1][0] == "dense":
+            kind, steps = segs[-1]
+            n = len(steps)
+            while n > 0 and steps[n - 1].sched_role != SCHED_REFRESH:
+                n -= 1
+            tail = steps[n:]
+            if n == 0:
+                segs = segs[:-1]
+            elif tail:
+                segs = segs[:-1] + [(kind, steps[:n])]
+        return segs, tail
+
+    @property
+    def _sms_steps(self):
+        return self._segments[1]
+
     def _rest(self, lat, ids, mask, cache, ctx):
         s_noise = lat.shape[1]
         # sentinel-pad on device: slots past the edited count become
@@ -293,10 +374,10 @@ class RegionESampler:
         count = jnp.sum(mask)
         ids = jnp.where(jnp.arange(ids.shape[0]) < count, ids, s_noise)
         valid = (ids < s_noise)[None, :, None].astype(jnp.float32)
-        segs = plan_segments(self.plan[self.re.warmup_step:])
+        segs, _ = self._segments
         avd_full = jnp.zeros_like(lat)
 
-        for kind, steps in segs:
+        for si, (kind, steps) in enumerate(segs):
             if kind == "rags":
                 lat_act = masking.gather_rows(lat, ids)
                 avd_act = masking.gather_rows(avd_full, ids)
@@ -304,10 +385,18 @@ class RegionESampler:
                                                  valid, steps, ctx)
                 lat = masking.scatter_rows(lat, ids, lat_act)
             else:
+                later_rags = any(k == "rags" for k, _ in segs[si + 1:])
                 for sp in steps:
                     if sp.sched_role == SCHED_REFRESH:
-                        v, cache = self.dense_forward(
-                            lat, jnp.float32(sp.sigma), cache, ctx, True)
+                        # the sentinel refresh (no RAGS after it) still does
+                        # the split-step merge but skips the cache rebuild —
+                        # nothing would ever read it
+                        if later_rags:
+                            v, cache = self.dense_forward(
+                                lat, jnp.float32(sp.sigma), cache, ctx, True)
+                        else:
+                            v, _ = self.dense_forward(
+                                lat, jnp.float32(sp.sigma), None, ctx, False)
                         v = v.astype(jnp.float32)
                         lat = masking.where_rows(
                             mask, lat + sp.dt * v, lat + sp.dt_jump * v)
@@ -323,6 +412,22 @@ class RegionESampler:
         # to get writable buffers, and peak HBM carries the cache twice
         # (observed +4.8 GiB at the 12B-class single-chip scale).
         return lat, cache
+
+    def _sms(self, lat, ctx):
+        """Trailing dense smooth steps — cache-free program (see __init__)."""
+        steps = self._sms_steps
+        sig = jnp.array([sp.sigma for sp in steps], jnp.float32)
+        dts = jnp.array([sp.dt for sp in steps], jnp.float32)
+        idxs = jnp.array([sp.index for sp in steps], jnp.int32)
+
+        def body(l, xs):
+            s, dt, idx = xs
+            v, _ = self.dense_forward(l, s, None, ctx, False)
+            self._tick(idx)
+            return l + dt * v.astype(jnp.float32), None
+
+        lat, _ = jax.lax.scan(body, lat, (sig, dts, idxs))
+        return lat
 
     def _rags_runs(self, lat_act, avd_act, cache, ids, valid, steps, ctx):
         """Run a RAGS segment, split at the (statically known) AVD reuse

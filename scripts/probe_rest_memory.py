@@ -3,6 +3,10 @@
 analysis.  Used to iterate on eliminating the full-cache while-loop entry
 copy that blocks the 12B-class single-chip RegionE path.
 
+NOTE: since the four-segment split, _rest covers RAGS runs + refresh
+split-steps only (the warm scan and SMS tail live in their own cache-free
+programs), so this probes the peak-pressure cache-carrying program.
+
 python scripts/probe_rest_memory.py --dd 11 --ds 22 [--cache-int8] [--no-donate]
 """
 
