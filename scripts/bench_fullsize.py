@@ -11,9 +11,14 @@ src/Step1X-Edit/modules/model.py config):
 
     step1x grid 64 (1024px), int8 weights + bf16 cache : 22.96 GiB — no
     step1x grid 64 (1024px), int8 weights + int8 cache : 17.62 GiB — no
-    step1x grid 48 ( 768px), int8 weights + int8 cache : 14.95 GiB — marginal
-    step1x grid 44 ( 704px), int8 weights + int8 cache : 14.41 GiB — YES
-    flux   grid 64 (1024px), int8 weights + int8 cache : 14.22 GiB — YES
+    step1x grid 48 ( 768px), int8 weights + int8 cache : 15.05 GiB — dense
+        fits and runs; the cache-carrying RegionE programs exhaust HBM
+        even with the four-segment sampler (probe peak 15.14 GiB
+        connector-less vs 15.75 usable — the connector + runtime reserve
+        eat the margin)
+    step1x grid 44 ( 704px), int8 weights + int8 cache : 14.48 GiB — YES
+    flux   grid 64 (1024px), int8 weights + int8 cache : 14.30 GiB — YES
+    qwen36 grid 48 ( 768px), int8 weights + int8 cache : 13.90 GiB — YES
 
 FLUX.1-Kontext (guidance-distilled, RegionE/FluxKontext/inplace.py) runs a
 SINGLE forward per step (guidance enters via the embedding, no CFG batch

@@ -146,3 +146,48 @@ def test_progress_callback_fires_per_step():
     # every dense/compute step ticks once; each reuse RUN ticks once
     assert len(ticks) >= stats.dense_steps
     assert max(ticks) == 27 and min(ticks) == 0
+
+
+def test_four_segment_split_structure():
+    """The sampler's plan split: warm scan length, SMS tail extraction,
+    and the sentinel refresh staying inside _rest (it does the merge)."""
+    from regione_tpu.core.schedule import SCHED_REFRESH
+
+    cfg, params, re, pipe = make_pipe()
+    sampler = pipe.sampler_for(GRID, GRID, T_TXT, batch_cache=1)
+    segs, tail = sampler._segments
+    # default plan: warmup 6, post 2, refresh (16,) + sentinel 27 ->
+    # SMS tail = the post_step plain dense steps at the very end
+    assert [sp.index for sp in tail] == [26, 27]
+    assert all(sp.dense and sp.sched_role != SCHED_REFRESH for sp in tail)
+    # the mid-run refresh stays inside _rest (the sentinel "merge" is the
+    # final scatter at the end of the last rags segment, not a forward)
+    rest_steps = [sp for _, steps in segs for sp in steps]
+    assert sum(sp.sched_role == SCHED_REFRESH for sp in rest_steps) == 1
+    # nothing lost: warm + partition + rest + tail covers all 28 steps
+    n_warm = re.warmup_step - 1
+    assert n_warm + 1 + len(rest_steps) + len(tail) == 28
+
+
+def test_four_segment_split_post_zero():
+    """post_step=0 -> no SMS tail; the final segment may end on rags."""
+    cfg, params, re, pipe = make_pipe()
+    re0 = re.replace(post_step=0, refresh_step=(16,)).validate()
+    pipe2 = EditPipelineBase(cfg, params, re0, gamma=gamma_for("step1x-edit"))
+    sampler = pipe2.sampler_for(GRID, GRID, T_TXT, batch_cache=1)
+    segs, tail = sampler._segments
+    assert tail == []
+    assert sampler._sms_steps == []
+
+
+def test_caller_latents_survive_sampling():
+    """_part donates its latents argument; the caller's array must stay
+    valid (defensively copied when warmup_step == 1)."""
+    cfg, params, re, pipe = make_pipe()
+    re1 = re.replace(warmup_step=1).validate()
+    pipe2 = EditPipelineBase(cfg, params, re1, gamma=gamma_for("step1x-edit"))
+    ctx, lat0, *_ = make_inputs(cfg, pipe2)
+    out, _ = pipe2.edit_latents(lat0, ctx, GRID, GRID)
+    # the input buffer must NOT have been donated away
+    assert np.isfinite(np.asarray(lat0)).all()
+    assert out.shape == lat0.shape
