@@ -101,10 +101,14 @@ def shard_params(params, mesh: Mesh):
 
 def cache_specs(cache) -> Any:
     """Head-major KV caches: [L, B, H, S, dh] K/V shard the head axis on
-    tp and batch on dp; [L, B, H, S] int8 scale leaves likewise."""
-    return jax.tree.map(
-        lambda x: (P(None, "dp", "tp", None, None) if x.ndim == 5
-                   else P(None, "dp", "tp", None)), cache)
+    tp and batch on dp; [L, B, H, S] int8 scale leaves likewise.  A batch
+    axis that dp cannot divide (e.g. the guidance-distilled FLUX runs a
+    single forward, batch 1) stays replicated."""
+    def spec(x):
+        b = None if x.shape[1] == 1 else "dp"
+        return (P(None, b, "tp", None, None) if x.ndim == 5
+                else P(None, b, "tp", None))
+    return jax.tree.map(spec, cache)
 
 
 def latent_spec() -> P:

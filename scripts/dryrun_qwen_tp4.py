@@ -1,16 +1,22 @@
-"""Qwen-Image-Edit 20B TP=4 shape-real dryrun (no weights materialized).
+"""Multi-chip shape-real dryrun of the FULL production presets (no
+weights materialized).
 
-AOT-compiles the FULL 60-block production preset — real 1024^2 token
-counts (64x64 grid -> 8192 KV rows), real text length, both CFG rows —
-over a (dp=2, tp=4) virtual CPU mesh with the GSPMD shardings from
+AOT-compiles a full production preset — real 1024^2 token counts (64x64
+grid -> 8192 KV rows), real text length, all CFG rows — over a (dp, tp)
+virtual CPU mesh with the GSPMD shardings from
 regione_tpu.parallel.sharding, then reads XLA's own per-device memory
 analysis.  Proves that (a) every multi-GB leaf is sharded, (b) the whole
 step compiles and partitions, and (c) the per-device byte budget fits a
 16 GiB v5e (VERDICT r1 item 8).
 
+Defaults to the hardest case (Qwen 20B, dp=2 x tp=4); --preset
+step1x-edit/flux-kontext with --tp 2 covers the 12B backbones' 1024px
+multi-chip configurations.
+
 Run:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
       XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python scripts/dryrun_qwen_tp4.py [--int8]
+      python scripts/dryrun_qwen_tp4.py [--int8] \
+          [--preset step1x-edit --tp 2]
 """
 
 from __future__ import annotations
@@ -27,9 +33,16 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--preset", default="qwen-image-edit",
+                    choices=["qwen-image-edit", "step1x-edit",
+                             "flux-kontext"])
     ap.add_argument("--grid", type=int, default=64)
-    ap.add_argument("--t-txt", type=int, default=512)
+    ap.add_argument("--t-txt", type=int, default=None)
+    ap.add_argument("--tp", type=int, default=4)
+    ap.add_argument("--dp", type=int, default=2)
     args = ap.parse_args()
+    if args.t_txt is None:
+        args.t_txt = 128 if args.preset == "step1x-edit" else 512
 
     import jax
     import jax.numpy as jnp
@@ -45,14 +58,21 @@ def main():
     from regione_tpu.ops.quant import quantize_params
     from regione_tpu.parallel.sharding import (
         cache_specs, make_mesh, param_specs)
+    from regione_tpu.core.config import DEFAULT_PARAMS
     from regione_tpu.pipelines.base import EditInputs
+    from regione_tpu.pipelines.flux_kontext import FluxKontextPipeline
     from regione_tpu.pipelines.qwen_image_edit import QwenImageEditPipeline
+    from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
 
-    cfg = get_config("qwen-image-edit")
+    cfg = get_config(args.preset)
+    is_flux = args.preset == "flux-kontext"
+    batch_cfg = 1 if is_flux else 2  # flux: guidance-embedded single fwd
     grid, t_txt = args.grid, args.t_txt
     s = grid * grid
     s_kv = 2 * s
-    mesh = make_mesh(8, dp=2)
+    n_dev = args.dp * args.tp
+    assert len(jax.devices()) >= n_dev
+    mesh = make_mesh(n_dev, dp=args.dp)
 
     def build(key):
         p = init_mmdit(key, cfg)
@@ -78,13 +98,17 @@ def main():
                                     sharding=NamedSharding(mesh, spec))
 
     params_abs = jax.tree.map(sds, pshapes, specs)
-    cache_shape = jax.eval_shape(lambda: init_cache(cfg, 2, s_kv, t_txt))
+    cache_shape = jax.eval_shape(
+        lambda: init_cache(cfg, batch_cfg, s_kv, t_txt))
     cache_abs = jax.tree.map(sds, cache_shape, cache_specs(cache_shape))
     lat_abs = jax.ShapeDtypeStruct((1, s, cfg.in_channels), jnp.float32,
                                    sharding=NamedSharding(mesh, P()))
     ctx_abs = EditInputs(
-        txt=jax.ShapeDtypeStruct((2, t_txt, cfg.txt_in_dim), cfg.dtype,
-                                 sharding=NamedSharding(mesh, P("dp"))),
+        txt=jax.ShapeDtypeStruct((batch_cfg, t_txt, cfg.txt_in_dim),
+                                 cfg.dtype,
+                                 sharding=NamedSharding(
+                                     mesh, P("dp") if batch_cfg > 1
+                                     else P())),
         cond_latent=jax.ShapeDtypeStruct((1, s, cfg.in_channels), jnp.float32,
                                          sharding=NamedSharding(mesh, P())),
         rope_img=tuple(jax.ShapeDtypeStruct((s_kv, sum(cfg.axes_dims)),
@@ -95,18 +119,27 @@ def main():
                                             jnp.float32,
                                             sharding=NamedSharding(mesh, P()))
                        for _ in range(2)),
+        pooled=(jax.ShapeDtypeStruct((batch_cfg, cfg.pooled_dim), cfg.dtype,
+                                     sharding=NamedSharding(mesh, P()))
+                if cfg.pooled_dim else None),
+        guidance=(jax.ShapeDtypeStruct((batch_cfg,), jnp.float32,
+                                       sharding=NamedSharding(mesh, P()))
+                  if cfg.guidance_embed else None),
         extra={"params": params_abs, "s_noise": s},
     )
 
-    pipe = QwenImageEditPipeline(cfg, None, RegionEParams(
-        threshold=0.80, cache_threshold=0.03))
+    cls = {"qwen-image-edit": QwenImageEditPipeline,
+           "step1x-edit": Step1XEditPipeline,
+           "flux-kontext": FluxKontextPipeline}[args.preset]
+    pipe = cls(cfg, None, DEFAULT_PARAMS[args.preset])
 
     def full_step(lat, sigma, cache, ctx):
         v, cache = pipe.dense_forward(lat, sigma, cache, ctx, True)
         return lat + (-0.03) * v.astype(jnp.float32), cache
 
-    print(f"[dryrun] lowering+compiling full {cfg.depth_double}-block "
-          f"qwen at grid {grid} (s_kv={s_kv}, t_txt={t_txt}) on "
+    print(f"[dryrun] lowering+compiling full {args.preset} "
+          f"({cfg.depth_double}+{cfg.depth_single} blocks) at grid {grid} "
+          f"(s_kv={s_kv}, t_txt={t_txt}) on "
           f"mesh {dict(mesh.shape)} int8={args.int8} ...", file=sys.stderr)
     t0 = time.perf_counter()
     with mesh:
@@ -118,7 +151,7 @@ def main():
     compile_s = time.perf_counter() - t0
     ma = compiled.memory_analysis()
     out = {
-        "preset": "qwen-image-edit",
+        "preset": args.preset,
         "mesh": dict(mesh.shape),
         "int8": args.int8,
         "grid": grid, "t_txt": t_txt, "s_kv": s_kv,
