@@ -179,11 +179,15 @@ def sdpa_cached(q, txt_kv, k_cache, v_cache, bias=None):
     bias: [B, 1, 1, T1+S] additive key-column bias or None.
     """
     from regione_tpu.ops.flash_attention import (
-        flash_attention, flash_attention_rows2, use_flash)
+        flash_attention, flash_attention_rows2, rows2_fits_vmem, use_flash)
     quant = isinstance(k_cache, tuple)
     rows = k_cache[0] if quant else k_cache
     s = rows.shape[2]
-    if use_flash(q.shape, rows.shape) and (txt_kv is None or s % 128 == 0):
+    rows2_ok = (txt_kv is None
+                or (s % 128 == 0
+                    and rows2_fits_vmem(txt_kv[0].shape[2], s,
+                                        q.shape[-1], quant)))
+    if use_flash(q.shape, rows.shape) and rows2_ok:
         brow = (bias.reshape(bias.shape[0], bias.shape[-1])
                 if bias is not None else None)
         kq, ks = k_cache if quant else (k_cache, None)

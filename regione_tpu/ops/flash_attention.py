@@ -337,6 +337,21 @@ def _rows2_resident_kernel(q_ref, kt_ref, vt_ref, k_ref, v_ref, ks_ref,
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
+def rows2_fits_vmem(t1: int, s: int, d: int, quant: bool) -> bool:
+    """Whether the rows2 kernel's per-instance working set fits scoped
+    VMEM (16 MB/core on v5e).  The resident tenants: double-buffered
+    windowed fresh-K/V blocks (bf16), double-buffered cache K/V blocks
+    (int8 or bf16), and — for the int8 cache — the bf16 dequant scratch.
+    Measured failure: everything-edited at the 1024^2 dev grid (t1=4224
+    fresh rows over an 8192-row int8 cache) exceeds the limit by ~60 KB;
+    callers must fall back to the XLA path (sdpa_cached does)."""
+    t1_pad = _round_up(t1, 128)
+    fresh = 2 * 2 * t1_pad * d * 2                       # k+v, dbl-buffered
+    cache = 2 * 2 * s * d * (1 if quant else 2)
+    scratch = 2 * s * d * 2 if quant else 0
+    return fresh + cache + scratch <= 12 * 2**20
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_q", "interpret"))
 def flash_attention_rows2(q, k_txt, v_txt, k_cache, v_cache,
