@@ -75,3 +75,17 @@ def test_unaligned_seq_padding():
     want = np.asarray(sdpa(q, k, v))
     got = np.asarray(flash_attention(q, k, v, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_rows2_vmem_guard_boundary():
+    """The rows2 dispatch guard must reject the geometry that measurably
+    exceeded scoped VMEM on v5e (everything-edited at the 1024^2 dev
+    grid) and accept every production geometry."""
+    from regione_tpu.ops.flash_attention import rows2_fits_vmem
+
+    assert not rows2_fits_vmem(4224, 8192, 128, True)   # measured failure
+    assert rows2_fits_vmem(1152, 8192, 128, True)       # dev cap 1024
+    assert rows2_fits_vmem(640, 3872, 128, True)        # step1x 704px
+    assert rows2_fits_vmem(1536, 8192, 128, True)       # flux 1024px
+    assert rows2_fits_vmem(1152, 4608, 128, True)       # qwen 768px
+    assert rows2_fits_vmem(1152, 8192, 128, False)      # dev bf16 cache
