@@ -20,6 +20,7 @@ RegionE/Step1XEdit/inplace.py:784-786).
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Sequence
 
@@ -32,9 +33,43 @@ import numpy as np
 # primitives
 # ---------------------------------------------------------------------------
 
+# W8A8 mode (opt-in per forward via `with act_int8():`, set from
+# MMDiTConfig.act_int8 by mmdit_forward): activations are dynamically
+# quantized per row so int8-weight linears run s8 x s8 -> s32 on the MXU.
+# The v5e runs int8 matmuls ~1.4x faster than bf16 at DiT shapes (measured
+# 177 vs 129 T/s incl. readback on [9216,3072]x[3072,12288]); weight-only
+# int8 with bf16 activations gets none of that (the dequantized operand is
+# bf16, 125 T/s).  Trace-time flag — each jitted program bakes its mode in.
+_ACT_INT8 = False
+
+
+@contextlib.contextmanager
+def act_int8(enabled: bool = True):
+    global _ACT_INT8
+    prev = _ACT_INT8
+    _ACT_INT8 = enabled
+    try:
+        yield
+    finally:
+        _ACT_INT8 = prev
+
+
 def linear(p, x):
-    if "w_q" in p:  # weight-only int8 (regione_tpu.ops.quant): XLA fuses
-        # the convert+scale into the matmul operand load
+    if "w_q" in p:  # weight-only int8 (regione_tpu.ops.quant)
+        if _ACT_INT8:
+            # dynamic per-row symmetric activation quant -> int8 MXU matmul;
+            # output scale = row_scale x per-channel weight scale
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            s_a = amax / 127.0 + 1e-12
+            x8 = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
+            nb = x.ndim - 1
+            acc = jax.lax.dot_general(
+                x8, p["w_q"], (((nb,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * s_a * p["scale"]
+            return out.astype(x.dtype) + p["b"]
+        # weight-only: XLA fuses the convert+scale into the operand load
         w = (p["w_q"].astype(jnp.float32) * p["scale"]).astype(x.dtype)
         return jnp.dot(x, w, preferred_element_type=x.dtype) + p["b"]
     return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]

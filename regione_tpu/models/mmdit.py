@@ -88,6 +88,12 @@ class MMDiTConfig:
                                    # and the per-RAGS-step cache read
                                    # bandwidth; opt-in (PSNR validated on
                                    # hardware before enabling by default)
+    act_int8: bool = False         # W8A8: dynamically quantize activations
+                                   # per row so int8-weight linears run
+                                   # s8 x s8 on the MXU (~1.4x the bf16
+                                   # matmul rate on v5e; models.layers
+                                   # act_int8 context).  Requires int8
+                                   # weights (ops.quant); no-op otherwise
     dtype: Any = jnp.bfloat16
 
     @property
@@ -318,6 +324,18 @@ def mmdit_forward(
     Returns (v_pred [B, T_img, out_channels], new_cache).
     In rags mode T_img == K_cap and `sel_img_ids` maps rows into the cache.
     """
+    from regione_tpu.models.layers import act_int8 as _act_int8_ctx
+    with _act_int8_ctx(cfg.act_int8):
+        return _mmdit_forward_body(
+            params, cfg, img, txt, t, rope_img, rope_txt, pooled, guidance,
+            mode=mode, cache=cache, sel_img_ids=sel_img_ids,
+            txt_bias=txt_bias)
+
+
+def _mmdit_forward_body(
+    params, cfg, img, txt, t, rope_img, rope_txt, pooled=None, guidance=None,
+    *, mode=MODE_DENSE, cache=None, sel_img_ids=None, txt_bias=None,
+):
     if mode == MODE_WRITE and cache is None:
         # write mode fills the cache from scratch; auto-init (img covers the
         # full KV sequence in write mode)

@@ -79,6 +79,9 @@ def main():
                          "blocks at the FULL production width is 12.3B and "
                          "the largest single-chip config, per-block "
                          "byte-identical to the 20B model's)")
+    ap.add_argument("--act-int8", action="store_true",
+                    help="W8A8: dynamic per-row activation quant onto the "
+                         "int8 MXU (~1.4x the bf16 matmul rate on v5e)")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -122,7 +125,8 @@ def main():
     preset = args.preset
     is_flux = preset == "flux-kontext"
     is_qwen = preset == "qwen-image-edit"
-    cfg = dataclasses.replace(get_config(preset), cache_int8=True)
+    cfg = dataclasses.replace(get_config(preset), cache_int8=True,
+                              act_int8=args.act_int8)
     if args.blocks is not None:
         cfg = dataclasses.replace(cfg, depth_double=args.blocks)
     batch_cfg = 1 if is_flux else 2  # flux: guidance-embedded single fwd
@@ -216,7 +220,8 @@ def main():
                  f"{param_count(params)/1e9:.1f}B)"}[preset]
     row = {
         "metric": f"{label} single-chip edit speedup "
-                  "(int8 weights + int8 KV cache)",
+                  f"(int8 weights + int8 KV cache"
+                  f"{' + W8A8 activations' if args.act_int8 else ''})",
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / ref_headline, 4),

@@ -34,6 +34,8 @@ def main():
                     help="RAGS capacity (default: quarter of grid^2)")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--cache-int8", action="store_true")
+    ap.add_argument("--act-int8", action="store_true",
+                    help="W8A8: dynamic activation quant onto the int8 MXU")
     ap.add_argument("--blocks", type=int, default=None,
                     help="override depth_double (e.g. the 36-block "
                          "single-chip Qwen config)")
@@ -94,6 +96,9 @@ def main():
         cfg = dataclasses.replace(cfg, cache_int8=True)
     if args.blocks is not None:
         cfg = dataclasses.replace(cfg, depth_double=args.blocks)
+    if args.act_int8:
+        cfg = dataclasses.replace(cfg, act_int8=True)
+        assert args.int8, "--act-int8 requires --int8 weights"
     params = (init_quantized(jax.random.PRNGKey(0), cfg, quantize_mods=True)
               if args.int8 else init_mmdit_jit(jax.random.PRNGKey(0), cfg))
     re = RegionEParams().replace(threshold=0.88, cache_threshold=0.02)
@@ -131,7 +136,8 @@ def main():
                    donate_argnums=(1,))
 
     print(f"[profile] {args.preset} grid={GRID} cap={cap} "
-          f"int8={args.int8} cache_int8={args.cache_int8}", file=sys.stderr)
+          f"int8={args.int8} cache_int8={args.cache_int8} "
+          f"act_int8={args.act_int8}", file=sys.stderr)
     t_dense, _ = timeit(dense, lat, ctx)
     print(f"[profile] dense forward          {t_dense*1e3:9.1f} ms",
           file=sys.stderr)
