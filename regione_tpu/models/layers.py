@@ -54,21 +54,46 @@ def act_int8(enabled: bool = True):
         _ACT_INT8 = prev
 
 
+def act_int8_active() -> bool:
+    return _ACT_INT8
+
+
+def quantize_rows(x):
+    """Dynamic per-row symmetric int8 quant: x [..., K] -> (int8 same
+    shape, f32 row scales [..., 1])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s_a = amax / 127.0 + 1e-12
+    x8 = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
+    return x8, s_a
+
+
+def linear_q8(p, x8, s_a, out_dtype=jnp.bfloat16):
+    """int8-weight linear over PRE-quantized activations: s8 x s8 -> s32
+    on the MXU, output scaled by row x per-channel scales.
+
+    XLA materializes the dot's output fusion BEFORE any scaling — with
+    an f32 epilogue that is a full-width f32 [M, N] temp (408 MB at the
+    12B single-block MLP width, the margin that kept W8A8 FLUX-1024px
+    from compiling).  Converting the s32 accumulator straight to
+    out_dtype inside the dot fusion keeps the temp at bf16 width (same
+    as the weight-only path); the bf16 rounding of accumulator and
+    scales (~0.2-0.4% each) is well under the 8-bit activation grid
+    (~1%)."""
+    nb = x8.ndim - 1
+    acc = jax.lax.dot_general(
+        x8, p["w_q"], (((nb,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(out_dtype) * s_a.astype(out_dtype)
+    return out * p["scale"].astype(out_dtype) + p["b"]
+
+
 def linear(p, x):
     if "w_q" in p:  # weight-only int8 (regione_tpu.ops.quant)
         if _ACT_INT8:
-            # dynamic per-row symmetric activation quant -> int8 MXU matmul;
-            # output scale = row_scale x per-channel weight scale
-            xf = x.astype(jnp.float32)
-            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-            s_a = amax / 127.0 + 1e-12
-            x8 = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
-            nb = x.ndim - 1
-            acc = jax.lax.dot_general(
-                x8, p["w_q"], (((nb,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            out = acc.astype(jnp.float32) * s_a * p["scale"]
-            return out.astype(x.dtype) + p["b"]
+            # W8A8: dynamic per-row activation quant -> int8 MXU matmul
+            x8, s_a = quantize_rows(x)
+            return linear_q8(p, x8, s_a, out_dtype=x.dtype)
         # weight-only: XLA fuses the convert+scale into the operand load
         w = (p["w_q"].astype(jnp.float32) * p["scale"]).astype(x.dtype)
         return jnp.dot(x, w, preferred_element_type=x.dtype) + p["b"]

@@ -88,7 +88,7 @@ def main():
     defaults = {  # (grid, t_txt, blocks, artifact)
         # reference text lengths: FLUX T5 max 512, Qwen chat-template
         # prompts run to ~512; Step1X Qwen2.5-VL prompts are short (128)
-        "step1x-edit": (48, 128, None, "FULLSIZE.json"),
+        "step1x-edit": (44, 128, None, "FULLSIZE.json"),
         "flux-kontext": (64, 512, None, "FULLSIZE_FLUX.json"),
         "qwen-image-edit": (48, 512, 36, "FULLSIZE_QWEN.json"),
     }
