@@ -266,19 +266,8 @@ class RegionESampler:
 
     @functools.cached_property
     def _dense_jit(self):
-        sigmas = np.array([sp.sigma for sp in self.plan], np.float32)
-        dts = np.array([sp.dt for sp in self.plan], np.float32)
-
         def run(lat, ctx):
-            lat = lat.astype(jnp.float32)
-
-            def body(l, xs):
-                sig, dt = xs
-                v, _ = self.dense_forward(l, sig, None, ctx, False)
-                return l + dt * v.astype(jnp.float32), None
-
-            lat, _ = jax.lax.scan(body, lat, (jnp.asarray(sigmas), jnp.asarray(dts)))
-            return lat
+            return self._dense_scan(lat.astype(jnp.float32), self.plan, ctx)
 
         return jax.jit(run)
 
@@ -286,16 +275,13 @@ class RegionESampler:
     # segment 1: STS + partition
     # ------------------------------------------------------------------
 
-    def _warm(self, latents, ctx):
-        """Dense stabilization scan (plan steps before the partition).
-        Cache-free by construction — compiling it WITHOUT the cache
-        argument keeps the big backbones' warm steps out of XLA's
-        rematerialization regime (see __init__)."""
-        warm = self.plan[: self.re.warmup_step - 1]
-        lat = latents.astype(jnp.float32)
-        sig = jnp.array([sp.sigma for sp in warm], jnp.float32)
-        dts = jnp.array([sp.dt for sp in warm], jnp.float32)
-        idxs = jnp.array([sp.index for sp in warm], jnp.int32)
+    def _dense_scan(self, lat, steps, ctx):
+        """Plain-Euler `lax.scan` over cache-free dense steps — the shared
+        body of the warm segment, the SMS segment, and the vanilla dense
+        baseline."""
+        sig = jnp.array([sp.sigma for sp in steps], jnp.float32)
+        dts = jnp.array([sp.dt for sp in steps], jnp.float32)
+        idxs = jnp.array([sp.index for sp in steps], jnp.int32)
 
         def body(l, xs):
             s, dt, idx = xs
@@ -305,6 +291,14 @@ class RegionESampler:
 
         lat, _ = jax.lax.scan(body, lat, (sig, dts, idxs))
         return lat
+
+    def _warm(self, latents, ctx):
+        """Dense stabilization scan (plan steps before the partition).
+        Cache-free by construction — compiling it WITHOUT the cache
+        argument keeps the big backbones' warm steps out of XLA's
+        rematerialization regime (see __init__)."""
+        return self._dense_scan(latents.astype(jnp.float32),
+                                self.plan[: self.re.warmup_step - 1], ctx)
 
     def _part(self, latents, cond_latent, ctx, forced_mask=None):
         """Partition split-step: one cache-writing forward, the edited-mask
@@ -415,19 +409,7 @@ class RegionESampler:
 
     def _sms(self, lat, ctx):
         """Trailing dense smooth steps — cache-free program (see __init__)."""
-        steps = self._sms_steps
-        sig = jnp.array([sp.sigma for sp in steps], jnp.float32)
-        dts = jnp.array([sp.dt for sp in steps], jnp.float32)
-        idxs = jnp.array([sp.index for sp in steps], jnp.int32)
-
-        def body(l, xs):
-            s, dt, idx = xs
-            v, _ = self.dense_forward(l, s, None, ctx, False)
-            self._tick(idx)
-            return l + dt * v.astype(jnp.float32), None
-
-        lat, _ = jax.lax.scan(body, lat, (sig, dts, idxs))
-        return lat
+        return self._dense_scan(lat, self._sms_steps, ctx)
 
     def _rags_runs(self, lat_act, avd_act, cache, ids, valid, steps, ctx):
         """Run a RAGS segment, split at the (statically known) AVD reuse

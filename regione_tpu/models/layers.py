@@ -100,6 +100,27 @@ def linear(p, x):
     return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
 
 
+def row_projector(x, p_probe):
+    """(carry, proj) for several linears sharing the input `x`:
+    `proj(p, carry)` applies one linear from the shared carry.
+
+    Under W8A8 (and when `p_probe` shows int8 weights) the carry is `x`
+    quantized ONCE — (int8 copy, row scales) — so every projection runs
+    from one int8 materialization instead of N transient ones (at 12B
+    this is the HBM margin between fitting and not; models/mmdit uses it
+    for the q/k/v trio and the single-block linear1 halves).  Otherwise
+    the carry is `x` itself.  The carry is a pytree of ARRAYS so callers
+    can thread it through `lax.optimization_barrier`."""
+    if _ACT_INT8 and "w_q" in p_probe:
+        out_dtype = x.dtype
+
+        def proj(p, carry):
+            return linear_q8(p, carry[0], carry[1], out_dtype=out_dtype)
+
+        return quantize_rows(x), proj
+    return x, lambda p, carry: linear(p, carry)
+
+
 def rmsnorm(x, scale, eps: float = 1e-6):
     """RMS norm over the last dim in fp32, cast back (qk-norm style)."""
     xf = x.astype(jnp.float32)

@@ -111,20 +111,13 @@ class MMDiTConfig:
 
 def _attn_qkv(p, x, rope, heads):
     """Project one stream to q,k,v heads with qk-RMSNorm and RoPE applied.
-
-    W8A8: the three projections share one input — quantize it ONCE (one
-    int8 copy + row scales instead of three transient ones; also the
-    ~26 MB HBM margin at FLUX-1024px full scale)."""
-    from regione_tpu.models.layers import (act_int8_active, linear_q8,
-                                           quantize_rows)
-    if act_int8_active() and "w_q" in p["q"]:
-        x8, xs = quantize_rows(x)
-        proj = lambda pl: linear_q8(pl, x8, xs, out_dtype=x.dtype)
-    else:
-        proj = lambda pl: linear(pl, x)
-    q = split_heads(proj(p["q"]), heads)
-    k = split_heads(proj(p["k"]), heads)
-    v = split_heads(proj(p["v"]), heads)
+    The three projections share one input (and, under W8A8, one quantized
+    copy of it — layers.row_projector)."""
+    from regione_tpu.models.layers import row_projector
+    carry, proj = row_projector(x, p["q"])
+    q = split_heads(proj(p["q"], carry), heads)
+    k = split_heads(proj(p["k"], carry), heads)
+    v = split_heads(proj(p["v"], carry), heads)
     q = rmsnorm(q, p["norm_q"]["scale"])
     k = rmsnorm(k, p["norm_k"]["scale"])
     q = apply_rope(q, rope)
@@ -234,20 +227,14 @@ def single_block(p, cfg: MMDiTConfig, x, temb_act, rope, mode,
     # Deferring the MLP half keeps only x_n (~49 MB) live.  Same FLOPs,
     # bit-identical output (tests/test_sampler_tiny.py oracle).
     #
-    # W8A8: quantize x_n ONCE and carry the int8 copy (+row scales)
-    # across the barrier — both linear1 halves share the same input, so
-    # this halves the live bytes across attention (int8 vs bf16; the
-    # margin that kept W8A8 FLUX-1024px from compiling) and skips a
-    # second quantization pass.
-    from regione_tpu.models.layers import (act_int8_active, linear_q8,
-                                           quantize_rows)
-    w8a8 = act_int8_active() and "w_q" in p["linear1"]
-    if w8a8:
-        x_n8, x_ns = quantize_rows(x_n)
-        qkv = linear_q8(_slice_out(p["linear1"], 0, 3 * cfg.inner),
-                        x_n8, x_ns, out_dtype=x_n.dtype)
-    else:
-        qkv = linear(_slice_out(p["linear1"], 0, 3 * cfg.inner), x_n)
+    # W8A8: both linear1 halves share x_n, so row_projector quantizes it
+    # ONCE and the int8 copy (+row scales) is what crosses the barrier —
+    # half the live bytes across attention vs the bf16 deferral (the
+    # margin that kept W8A8 FLUX-1024px from compiling), and one quant
+    # pass instead of two.
+    from regione_tpu.models.layers import row_projector
+    carry1, proj1 = row_projector(x_n, p["linear1"])
+    qkv = proj1(_slice_out(p["linear1"], 0, 3 * cfg.inner), carry1)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = rmsnorm(split_heads(q, heads), p["norm_q"]["scale"])
     k = rmsnorm(split_heads(k, heads), p["norm_k"]["scale"])
@@ -270,15 +257,11 @@ def single_block(p, cfg: MMDiTConfig, x, temb_act, rope, mode,
             else:
                 new_cache = (k_img, v_img)
         attn = sdpa(q, k, v, bias=txt_bias)
-    # deferred MLP half of linear1 (see the comment at the qkv projection)
-    if w8a8:
-        x_n8b, x_nsb, attn = jax.lax.optimization_barrier(
-            (x_n8, x_ns, attn))
-        mlp_h = linear_q8(_slice_out(p["linear1"], 3 * cfg.inner, None),
-                          x_n8b, x_nsb, out_dtype=x.dtype)
-    else:
-        x_n2, attn = jax.lax.optimization_barrier((x_n, attn))
-        mlp_h = linear(_slice_out(p["linear1"], 3 * cfg.inner, None), x_n2)
+    # deferred MLP half of linear1 (see the comment at the qkv projection):
+    # the barrier pins the shared carry (int8 copy + scales under W8A8,
+    # the bf16 x_n otherwise) and the ordering after attention
+    carry1b, attn = jax.lax.optimization_barrier((carry1, attn))
+    mlp_h = proj1(_slice_out(p["linear1"], 3 * cfg.inner, None), carry1b)
     out = linear(p["linear2"],
                  jnp.concatenate([attn, jax.nn.gelu(mlp_h, approximate=True)], -1))
     return x + gate * out, new_cache

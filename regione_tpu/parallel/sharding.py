@@ -99,13 +99,16 @@ def shard_params(params, mesh: Mesh):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
 
-def cache_specs(cache) -> Any:
+def cache_specs(cache, dp: int | None = None) -> Any:
     """Head-major KV caches: [L, B, H, S, dh] K/V shard the head axis on
     tp and batch on dp; [L, B, H, S] int8 scale leaves likewise.  A batch
-    axis that dp cannot divide (e.g. the guidance-distilled FLUX runs a
-    single forward, batch 1) stays replicated."""
+    axis that dp cannot divide stays replicated — batch 1 always (the
+    guidance-distilled FLUX runs a single forward), and any other
+    indivisible batch when the mesh's dp size is passed (e.g. the CFG
+    pair of 2 on a dp=4 mesh)."""
     def spec(x):
-        b = None if x.shape[1] == 1 else "dp"
+        b_sz = x.shape[1]
+        b = "dp" if b_sz > 1 and (dp is None or b_sz % dp == 0) else None
         return (P(None, b, "tp", None, None) if x.ndim == 5
                 else P(None, b, "tp", None))
     return jax.tree.map(spec, cache)

@@ -97,6 +97,8 @@ def main():
     args.t_txt = args.t_txt if args.t_txt is not None else dt
     args.blocks = args.blocks if args.blocks is not None else db
     if args.out is None:
+        if args.act_int8:  # keep the weight-only baseline artifact intact
+            dout = dout.replace(".json", "_W8A8.json")
         args.out = os.path.join(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))), dout)
 

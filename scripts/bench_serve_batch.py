@@ -153,9 +153,6 @@ def service_e2e(args):
     (mock text encode -> VAE encode -> RegionE denoise -> VAE decode)
     with host prep overlapped one request ahead.  Reports per-request
     wall latency and the prep time hidden behind device compute."""
-    import dataclasses
-    import time
-    import numpy as np
     import jax
     import jax.numpy as jnp
     try:
@@ -193,7 +190,6 @@ def service_e2e(args):
     t0 = time.perf_counter()
     results = svc.run(reqs)
     wall = time.perf_counter() - t0
-    import json
     print(json.dumps({
         "metric": "end-to-end serving latency (overlapped prep, "
                   "mock encoder + VAE, adaptive RegionE)",

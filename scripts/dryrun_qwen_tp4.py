@@ -100,7 +100,7 @@ def main():
     params_abs = jax.tree.map(sds, pshapes, specs)
     cache_shape = jax.eval_shape(
         lambda: init_cache(cfg, batch_cfg, s_kv, t_txt))
-    cache_abs = jax.tree.map(sds, cache_shape, cache_specs(cache_shape))
+    cache_abs = jax.tree.map(sds, cache_shape, cache_specs(cache_shape, dp=args.dp))
     lat_abs = jax.ShapeDtypeStruct((1, s, cfg.in_channels), jnp.float32,
                                    sharding=NamedSharding(mesh, P()))
     ctx_abs = EditInputs(
