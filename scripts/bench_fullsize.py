@@ -35,7 +35,7 @@ Writes FULLSIZE.json (step1x) / FULLSIZE_FLUX.json at the repo root and
 prints the same one-line JSON schema as bench.py.
 
 Usage:  timeout 3000 python scripts/bench_fullsize.py [--preset flux-kontext]
-            [--grid 48] [--t-txt 128]
+            [--grid 44] [--t-txt 128] [--act-int8]
 """
 
 from __future__ import annotations

@@ -33,6 +33,10 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--act-int8", action="store_true",
+                    help="W8A8 under GSPMD: validates the dynamic "
+                         "activation-quant ops partition with the TP "
+                         "sharding rules")
     ap.add_argument("--preset", default="qwen-image-edit",
                     choices=["qwen-image-edit", "step1x-edit",
                              "flux-kontext"])
@@ -65,6 +69,10 @@ def main():
     from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
 
     cfg = get_config(args.preset)
+    if args.act_int8:
+        import dataclasses
+        assert args.int8, "--act-int8 requires --int8"
+        cfg = dataclasses.replace(cfg, act_int8=True)
     is_flux = args.preset == "flux-kontext"
     batch_cfg = 1 if is_flux else 2  # flux: guidance-embedded single fwd
     grid, t_txt = args.grid, args.t_txt
@@ -154,6 +162,7 @@ def main():
         "preset": args.preset,
         "mesh": dict(mesh.shape),
         "int8": args.int8,
+        "act_int8": args.act_int8,
         "grid": grid, "t_txt": t_txt, "s_kv": s_kv,
         "compile_s": round(compile_s, 1),
         "argument_gib_per_device": round(
