@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--t-txt", type=int, default=640)
     ap.add_argument("--cap", type=int, default=1024)
     ap.add_argument("--cache-int8", action="store_true")
+    ap.add_argument("--act-int8", action="store_true")
     ap.add_argument("--no-donate", action="store_true")
     ap.add_argument("--auto-layout", action="store_true",
                     help="compile with Format(Layout.AUTO) entry layouts "
@@ -51,7 +52,8 @@ def main():
 
     cfg = dataclasses.replace(
         get_config("step1x-edit"), depth_double=args.dd,
-        depth_single=args.ds, connector=None, cache_int8=args.cache_int8)
+        depth_single=args.ds, connector=None, cache_int8=args.cache_int8,
+        act_int8=args.act_int8)
     GRID, T_TXT, CAP = args.grid, args.t_txt, args.cap
     s = GRID * GRID
     s_kv = 2 * s
