@@ -96,3 +96,22 @@ def test_cli_evaluation_mode(tiny_cli, tmp_path):
     assert timing["num_item"] == 2 and len(timing["list"]) == 2
     meta = json.load(open(out_task / "metadata.json"))
     assert meta["k1"] == "edit 1"
+
+
+def test_cli_w8a8_demo(tmp_path):
+    """--int8 --act_int8 end-to-end through the real CLI (tiny preset):
+    int8 weights + dynamic activation quant produce a valid image."""
+    from PIL import Image
+    from regione_tpu.cli import main as cli
+
+    img = (np.random.default_rng(0).random((32, 32, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "in.png")
+    cli.main([
+        "--use_regione", "--random_weights", "--preset", "tiny",
+        "--int8", "--act_int8", "--threshold", "0.0",
+        "--erosion_dilation", "False",
+        "--image_path", str(tmp_path / "in.png"), "--prompt", "w8a8",
+        "--output_dir", str(tmp_path / "out"), "--size_level", "32",
+    ])
+    out = np.asarray(Image.open(tmp_path / "out" / "demo_0.png"))
+    assert out.shape == (32, 32, 3) and np.isfinite(out).all()
