@@ -62,7 +62,7 @@ def build_pipeline(args):
     if args.model_path:
         from regione_tpu.weights.convert import load_converted
         params, vae_cfg, vae_params, encoder = load_converted(
-            args.model_path, cfg)
+            args.model_path, cfg, backend=backend)
     else:
         params = init_mmdit(jax.random.PRNGKey(args.seed), cfg)
         # 4 resolution levels -> spatial_factor 8, token_factor 16: the

@@ -8,11 +8,24 @@ the patched transformer forward (reference RegionE/Step1XEdit/
 inplace.py:514-520).  Because it is timestep-dependent, it must run inside
 the jitted model forward, not at prompt-encoding time.
 
-Structure: single-token-refiner (attention + MLP blocks with gate-only
-modulation from timestep embedding + masked-mean context embedding), plus a
-masked-mean -> MLP head for the pooled vector.  This matches the public
-Step1X-Edit connector topology; exact tensor-name mapping for converted
-checkpoints is wired in weights/convert.py when real weights are available.
+Structure mirrors the public Step1X-Edit `Qwen2Connector`
+(single-token-refiner + global projection), so converted checkpoints map
+tensor-for-tensor (weights/convert.py `convert_connector`):
+
+  * refiner: input_embedder linear, timestep MLP (t_embedder.mlp.0/.2),
+    context MLP over the masked mean of the RAW VL features
+    (c_embedder.linear_1/.2), then `depth` blocks of
+    LayerNorm -> self-attention -> LayerNorm -> MLP with per-block
+    gate-only AdaLN modulation from silu(temb + cemb)
+    (adaLN_modulation = [SiLU, Linear(h, 2h)]).
+  * pooled head: `y = global_proj_out(masked_mean(raw_feats) *
+    (1 + scale_factor))` — a single linear from the RAW feature mean
+    (NOT the refined tokens), with a learned scalar scale.
+
+Both heads read the raw features; only the refined tokens pass through the
+blocks.  The reference invokes this per timestep inside the transformer
+forward (RegionE/Step1XEdit/inplace.py:514-520), so it lives inside the
+jitted model forward here too.
 """
 
 from __future__ import annotations
@@ -51,16 +64,20 @@ def connector_apply(p, cfg: ConnectorConfig, feats, t, mask=None):
     """feats: [B, T, in_dim]; t: [B] sigma; mask: [B, T] bool or None.
     Returns (refined [B, T, hidden], y [B, pooled_dim])."""
     dt = cfg.dtype
-    x = linear(p["in_proj"], feats.astype(dt))
     if mask is None:
-        mask_f = jnp.ones(x.shape[:2], jnp.float32)
+        mask_f = jnp.ones(feats.shape[:2], jnp.float32)
     else:
         mask_f = mask.astype(jnp.float32)
     denom = jnp.maximum(mask_f.sum(-1, keepdims=True), 1.0)
+    # masked mean of the RAW VL features feeds both the context embed and
+    # the global pooled head (Qwen2Connector.forward / SingleTokenRefiner)
+    ctx = (feats.astype(jnp.float32) * mask_f[..., None]).sum(1) / denom
+    y = linear(p["global_proj"],
+               (ctx * (1.0 + p["scale_factor"].astype(jnp.float32))).astype(dt))
 
+    x = linear(p["in_proj"], feats.astype(dt))
     temb = mlp_embed(p["t_embed"],
                      timestep_embedding(t, cfg.time_embed_dim).astype(dt))
-    ctx = (x.astype(jnp.float32) * mask_f[..., None]).sum(1) / denom
     cemb = mlp_embed(p["c_embed"], ctx.astype(dt))
     c = jax.nn.silu(temb + cemb)
 
@@ -82,9 +99,6 @@ def connector_apply(p, cfg: ConnectorConfig, feats, t, mask=None):
         return x, None
 
     x, _ = jax.lax.scan(body, x, p["blocks"])
-
-    pooled_in = (x.astype(jnp.float32) * mask_f[..., None]).sum(1) / denom
-    y = mlp_embed(p["y_proj"], pooled_in.astype(dt))
     return x, y
 
 
@@ -111,9 +125,9 @@ def init_connector(key, cfg: ConnectorConfig):
     return {
         "in_proj": init_linear(keys[0], cfg.in_dim, h, dt),
         "t_embed": init_mlp_embed(keys[1], cfg.time_embed_dim, h, dt),
-        "c_embed": init_mlp_embed(keys[2], h, h, dt),
-        "y_proj": {"in": init_linear(keys[3], h, cfg.pooled_dim, dt),
-                   "out": init_linear(keys[4], cfg.pooled_dim, cfg.pooled_dim,
-                                      dt)},
+        "c_embed": init_mlp_embed(keys[2], cfg.in_dim, h, dt),
+        "global_proj": init_linear(keys[3], cfg.in_dim, cfg.pooled_dim, dt),
+        # reference init: scale_factor = -(1 - 0.09), i.e. (1+sf) = 0.09
+        "scale_factor": jnp.full((1,), -0.91, dt),
         "blocks": jax.vmap(init_block)(jax.random.split(keys[5], cfg.depth)),
     }

@@ -72,6 +72,17 @@ PRESETS: dict[str, MMDiTConfig] = {
         axes_dims=(4, 6, 6), time_embed_dim=32, mlp_ratio=2.0,
         in_channels=8, out_channels=8, dtype=jnp.float32,
     ),
+    # tiny mirror of the full Step1X architecture (connector-bearing), for
+    # converter roundtrips and CPU pipeline tests of the connector path
+    "tiny-step1x": MMDiTConfig(
+        hidden=32, heads=2, head_dim=16, depth_double=2, depth_single=2,
+        txt_in_dim=16, pooled_dim=8, guidance_embed=False,
+        axes_dims=(4, 6, 6), time_embed_dim=32, mlp_ratio=2.0,
+        in_channels=8, out_channels=8, dtype=jnp.float32,
+        connector=ConnectorConfig(in_dim=16, hidden=16, heads=2, depth=2,
+                                  pooled_dim=8, time_embed_dim=32,
+                                  dtype=jnp.float32),
+    ),
     "tiny-flux": MMDiTConfig(
         hidden=32, heads=2, head_dim=16, depth_double=2, depth_single=2,
         txt_in_dim=16, pooled_dim=8, guidance_embed=True,

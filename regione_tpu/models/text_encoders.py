@@ -96,6 +96,26 @@ QWEN_EDIT_PLUS_TEMPLATE = (
 # asserted against this constant.
 QWEN_EDIT_DROP_IDX = 64
 
+# The dropped prefix ends where the user turn opens: everything before
+# (and including) this marker is template preamble, everything after is
+# user content (vision tokens + instruction).
+_USER_TURN_MARKER = "<|im_start|>user\n"
+
+
+def _derive_drop_idx(tokenizer, template: str) -> int:
+    """Token length of the template preamble — the region diffusers drops
+    from the hidden states via prompt_template_encode_start_idx.  Derived
+    from the template text itself (prefix up to and including the
+    `<|im_start|>user\\n` turn opener) so the hardcoded constant is checked
+    against the real tokenizer instead of self-certified."""
+    if _USER_TURN_MARKER not in template:
+        raise ValueError(f"template has no user turn marker: {template!r}")
+    prefix = template.split(_USER_TURN_MARKER)[0] + _USER_TURN_MARKER
+    ids = tokenizer(prefix, add_special_tokens=False)["input_ids"]
+    if ids and isinstance(ids[0], (list, tuple)):  # batched tokenizers
+        ids = ids[0]
+    return len(ids)
+
 
 def drop_and_repad(hidden: "np.ndarray", mask: "np.ndarray",
                    drop_idx: int) -> tuple["np.ndarray", "np.ndarray"]:
@@ -131,7 +151,8 @@ class QwenVLPromptEncoder:
 
     def __init__(self, model_path: str, variant: str = "qwen-image-edit",
                  max_length: int = 1024, device: str = "cpu",
-                 template: str | None = None, drop_idx: int | None = None):
+                 template: str | None = None, drop_idx: int | None = None,
+                 processor_path: str | None = None):
         import torch
         from transformers import AutoProcessor
 
@@ -142,7 +163,10 @@ class QwenVLPromptEncoder:
 
         self.torch = torch
         self.variant = variant
-        self.processor = AutoProcessor.from_pretrained(model_path)
+        # diffusers-layout checkpoints keep the processor/tokenizer config
+        # in a sibling subfolder, not next to the model weights
+        self.processor = AutoProcessor.from_pretrained(
+            processor_path or model_path)
         self.model = VL.from_pretrained(
             model_path, torch_dtype=torch.float32).to(device).eval()
         self.max_length = max_length
@@ -151,6 +175,14 @@ class QwenVLPromptEncoder:
             QWEN_EDIT_PLUS_TEMPLATE if variant == "qwen-image-edit-plus"
             else QWEN_EDIT_TEMPLATE)
         self.drop_idx = QWEN_EDIT_DROP_IDX if drop_idx is None else drop_idx
+        tok = getattr(self.processor, "tokenizer", None)
+        if tok is not None:
+            derived = _derive_drop_idx(tok, self.template)
+            if derived != self.drop_idx:
+                raise ValueError(
+                    f"drop_idx mismatch: template preamble tokenizes to "
+                    f"{derived} tokens but drop_idx={self.drop_idx}; the "
+                    f"template and the drop constant have diverged")
 
     def _format(self, prompt: str, n_images: int) -> str:
         if self.variant == "qwen-image-edit-plus":
@@ -195,17 +227,20 @@ class FluxPromptEncoder:
     CLIP_MAX_LENGTH = 77
 
     def __init__(self, t5_path: str, clip_path: str, device: str = "cpu",
-                 max_length: int | None = None):
+                 max_length: int | None = None,
+                 t5_tokenizer_path: str | None = None,
+                 clip_tokenizer_path: str | None = None):
         import torch
         from transformers import (AutoTokenizer, CLIPTextModel,
                                   T5EncoderModel)
 
         self.torch = torch
         self.device = device
-        self.t5_tok = AutoTokenizer.from_pretrained(t5_path)
+        self.t5_tok = AutoTokenizer.from_pretrained(t5_tokenizer_path or t5_path)
         self.t5 = T5EncoderModel.from_pretrained(
             t5_path, torch_dtype=torch.float32).to(device).eval()
-        self.clip_tok = AutoTokenizer.from_pretrained(clip_path)
+        self.clip_tok = AutoTokenizer.from_pretrained(
+            clip_tokenizer_path or clip_path)
         self.clip = CLIPTextModel.from_pretrained(
             clip_path, torch_dtype=torch.float32).to(device).eval()
         self.max_length = max_length or self.T5_MAX_LENGTH
@@ -243,8 +278,59 @@ def encoder_for_backend(backend: str, **paths):
                                    device=paths.get("device", "cpu"))
     if backend == "flux-kontext":
         return FluxPromptEncoder(paths["t5_path"], paths["clip_path"],
-                                 device=paths.get("device", "cpu"))
+                                 device=paths.get("device", "cpu"),
+                                 t5_tokenizer_path=paths.get("t5_tokenizer_path"),
+                                 clip_tokenizer_path=paths.get("clip_tokenizer_path"))
     raise KeyError(f"no encoder recipe for backend {backend!r}")
+
+
+def encoder_from_checkpoint(root, backend: str, device: str = "cpu"):
+    """Reference-matching prompt encoder from a diffusers-layout checkpoint
+    directory (the layout `from_pretrained` reads; model_index.json
+    subfolders).  This is the loading-path entry used by
+    weights.convert.load_converted and the CLI `--model_path` flow.
+
+      Qwen-family / Step1X:  text_encoder/ (Qwen2.5-VL) with the processor
+        config in processor/ or tokenizer/ (falling back to text_encoder/).
+      FLUX.1 Kontext:        text_encoder/ (CLIP-L) + tokenizer/,
+                             text_encoder_2/ (T5-XXL) + tokenizer_2/.
+
+    Raises KeyError for unknown backends and FileNotFoundError when the
+    expected subfolders are absent (callers fall back to mock encoders for
+    checkpoint-less environments)."""
+    from pathlib import Path
+    root = Path(root)
+
+    def sub(*names):
+        for n in names:
+            d = root / n
+            if d.is_dir():
+                return str(d)
+        return None
+
+    if backend == "flux-kontext":
+        clip, t5 = sub("text_encoder"), sub("text_encoder_2")
+        if not (clip and t5):
+            raise FileNotFoundError(
+                f"{root}: flux-kontext needs text_encoder/ (CLIP) and "
+                f"text_encoder_2/ (T5)")
+        return encoder_for_backend(
+            backend, t5_path=t5, clip_path=clip, device=device,
+            t5_tokenizer_path=sub("tokenizer_2") or t5,
+            clip_tokenizer_path=sub("tokenizer") or clip)
+
+    te = sub("text_encoder")
+    if te is None:
+        raise FileNotFoundError(f"{root}: no text_encoder/ subfolder")
+    variant = ("qwen-image-edit-plus" if backend == "qwen-image-edit-plus"
+               else "qwen-image-edit" if backend == "qwen-image-edit"
+               else "step1x-edit")
+    if backend not in ("qwen-image-edit", "qwen-image-edit-plus",
+                       "step1x-edit", "step1x-edit-v1p2"):
+        raise KeyError(f"no encoder recipe for backend {backend!r}")
+    return QwenVLPromptEncoder(
+        te, variant=variant, device=device,
+        processor_path=sub("processor", "tokenizer") or te)
 
 
 class HFTextEncoder:

@@ -72,10 +72,94 @@ def _stack(dicts: list[dict]) -> dict:
     return jax.tree.map(lambda *xs: np.stack(xs, 0), *dicts)
 
 
+def convert_connector(state: dict[str, np.ndarray], ccfg,
+                      dtype=np.float32, prefix: str = "connector.") -> dict:
+    """Step1X-Edit `Qwen2Connector` state dict -> models.connector pytree.
+
+    The connector is the timestep-conditioned token refiner the reference
+    invokes inside its patched transformer forward
+    (RegionE/Step1XEdit/inplace.py:514-520).  Source naming (Step1X-Edit
+    connector_edit.py, shipped inside the transformer checkpoint under
+    `connector.*`):
+
+      S.input_embedder                      -> in_proj
+      S.t_embedder.mlp.{0,2}                -> t_embed.{in,out}
+      S.c_embedder.linear_{1,2}             -> c_embed.{in,out}
+      S.individual_token_refiner.blocks.{i}.
+          norm1 / norm2 (affine LayerNorm)  -> norm1 / norm2 {scale,bias}
+          self_attn_qkv (fused [3h, h])     -> attn.{q,k,v} (split rows)
+          self_attn_proj                    -> attn.out
+          mlp.fc1 / mlp.fc2                 -> mlp.{in,out}
+          adaLN_modulation.1                -> mod
+      global_proj_out                       -> global_proj
+      scale_factor                          -> scale_factor
+    """
+    g = lambda p: _lin(state, prefix + p, dtype)
+    h = ccfg.hidden
+
+    def ln(p):
+        return {"scale": np.asarray(state[f"{prefix}{p}.weight"], dtype),
+                "bias": np.asarray(state[f"{prefix}{p}.bias"], dtype)}
+
+    blocks = []
+    for i in range(ccfg.depth):
+        b = f"S.individual_token_refiner.blocks.{i}"
+        qkv = g(f"{b}.self_attn_qkv")   # {"w": [h, 3h], "b": [3h]}
+        blocks.append({
+            "norm1": ln(f"{b}.norm1"),
+            "norm2": ln(f"{b}.norm2"),
+            "attn": {
+                "q": {"w": qkv["w"][:, :h], "b": qkv["b"][:h]},
+                "k": {"w": qkv["w"][:, h:2 * h], "b": qkv["b"][h:2 * h]},
+                "v": {"w": qkv["w"][:, 2 * h:], "b": qkv["b"][2 * h:]},
+                "out": g(f"{b}.self_attn_proj"),
+            },
+            "mlp": {"in": g(f"{b}.mlp.fc1"), "out": g(f"{b}.mlp.fc2")},
+            "mod": g(f"{b}.adaLN_modulation.1"),
+        })
+    return {
+        "in_proj": g("S.input_embedder"),
+        "t_embed": {"in": g("S.t_embedder.mlp.0"),
+                    "out": g("S.t_embedder.mlp.2")},
+        "c_embed": {"in": g("S.c_embedder.linear_1"),
+                    "out": g("S.c_embedder.linear_2")},
+        "global_proj": g("global_proj_out"),
+        "scale_factor": np.asarray(state[f"{prefix}scale_factor"],
+                                   dtype).reshape(1),
+        "blocks": _stack(blocks),
+    }
+
+
+# Step1X-Edit transformer top-level naming deltas vs FluxTransformer2DModel
+# (observed in the reference's patched forward, inplace.py:514-521:
+# `self.time_embed(self.time_proj(...))`, `self.vec_embed(y)`).
+STEP1X_ALIASES: list[tuple[str, str]] = [
+    (r"^time_embed\.", "time_text_embed.timestep_embedder."),
+    (r"^vec_embed\.", "time_text_embed.text_embedder."),
+]
+
+
+def is_step1x_state(state: dict) -> bool:
+    return any(k.startswith("connector.") or k.startswith("time_embed.")
+               for k in state)
+
+
+def normalize_step1x_keys(state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in state.items():
+        nk = k
+        for pat, rep in STEP1X_ALIASES:
+            nk = re.sub(pat, rep, nk)
+        out[nk] = v
+    return out
+
+
 def convert_flux_transformer(state: dict[str, np.ndarray], cfg,
                              dtype=np.float32) -> dict:
     """diffusers FluxTransformer2DModel / Step1XEdit transformer state dict
-    -> models.mmdit pytree."""
+    -> models.mmdit pytree.  Asserts every source tensor is consumed."""
+    if not isinstance(state, TrackingState):
+        state = TrackingState(state)
     g = lambda p: _lin(state, p, dtype)
 
     def mlp_embed(prefix):
@@ -146,6 +230,16 @@ def convert_flux_transformer(state: dict[str, np.ndarray], cfg,
                 "norm_k": _norm_scale(state, f"{p}.attn.norm_k.weight", dtype),
             })
         params["single"] = _stack(singles)
+
+    if getattr(cfg, "connector", None) is not None:
+        params["connector"] = convert_connector(state, cfg.connector, dtype)
+
+    leftover = state.unconsumed()
+    if leftover:
+        raise ValueError(
+            f"convert_flux_transformer: {len(leftover)} unmapped tensors, "
+            f"e.g. {sorted(leftover)[:5]} — mapping incomplete or wrong "
+            f"preset for this checkpoint")
     return params
 
 
@@ -177,7 +271,12 @@ def normalize_qwen_keys(state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 def convert_vae(state: dict[str, np.ndarray], vae_cfg, dtype=np.float32) -> dict:
     """diffusers AutoencoderKL state dict -> models.vae pytree.
-    torch conv weight [out, in, kh, kw] -> [kh, kw, in, out]."""
+    torch conv weight [out, in, kh, kw] -> [kh, kw, in, out].
+    Asserts every source tensor is consumed (quant/post_quant conv are the
+    only expected extras; they are identity-foldable and ignored when 1x1)."""
+    if not isinstance(state, TrackingState):
+        state = TrackingState(state)
+
     def conv(prefix):
         w = np.asarray(state[f"{prefix}.weight"], dtype)
         return {"w": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
@@ -234,6 +333,13 @@ def convert_vae(state: dict[str, np.ndarray], vae_cfg, dtype=np.float32) -> dict
         if ukey in state:
             blk["upsample"] = conv(f"decoder.up_blocks.{i}.upsamplers.0.conv")
         dec["up"].append(blk)
+    leftover = state.unconsumed()
+    if leftover:
+        raise ValueError(
+            f"convert_vae: {len(leftover)} unmapped tensors, e.g. "
+            f"{sorted(leftover)[:5]} — the flux-family AutoencoderKL has no "
+            f"quant/post_quant convs; a checkpoint that does needs them "
+            f"modeled, not dropped")
     return {"encoder": enc, "decoder": dec}
 
 
@@ -368,20 +474,28 @@ def is_wan_vae_state(state: dict) -> bool:
                for k in state)
 
 
-def load_converted(model_path: str, cfg):
+def load_converted(model_path: str, cfg, backend: str | None = None):
     """Load a HF-layout checkpoint directory:
       <model_path>/transformer/*.safetensors
       <model_path>/vae/*.safetensors
-      <model_path>/text_encoder/  (left to transformers)
-    Returns (dit_params, vae_cfg, vae_params, text_encoder)."""
+      <model_path>/text_encoder/ (+processor/tokenizer subfolders)
+    Returns (dit_params, vae_cfg, vae_params, text_encoder).
+
+    When `backend` is given, the prompt encoder is the reference-matching
+    per-backend recipe (chat template + prefix drop for the Qwen family,
+    T5+CLIP for FLUX — text_encoders.encoder_from_checkpoint); otherwise
+    the generic HFTextEncoder fallback."""
     import jax.numpy as jnp
-    from regione_tpu.models.text_encoders import HFTextEncoder, MockTextEncoder
+    from regione_tpu.models.text_encoders import (
+        HFTextEncoder, MockTextEncoder, encoder_from_checkpoint)
     from regione_tpu.models.vae import VAEConfig
 
     root = Path(model_path)
     state = _load_torch_state(root / "transformer")
     if any(k.startswith("img_in") or ".img_mod." in k for k in state):
         state = normalize_qwen_keys(state)
+    if is_step1x_state(state):
+        state = normalize_step1x_keys(state)
     params = convert_flux_transformer(state, cfg, np.float32)
     params = _tree_cast(params, jnp.bfloat16)
 
@@ -406,14 +520,19 @@ def load_converted(model_path: str, cfg):
             block_out_channels=tuple(
                 c.get("block_out_channels", (128, 256, 512, 512))),
             layers_per_block=c.get("layers_per_block", 2),
+            norm_num_groups=c.get("norm_num_groups", 32),
             scaling_factor=c.get("scaling_factor", 0.3611),
             shift_factor=c.get("shift_factor", 0.1159) or 0.0,
         )
         vae_params = convert_vae(vae_state, vae_cfg)
 
     te_dir = root / "text_encoder"
-    encoder = (HFTextEncoder(str(te_dir)) if te_dir.exists()
-               else MockTextEncoder(cfg.txt_in_dim, cfg.pooled_dim or None))
+    if backend is not None and te_dir.exists():
+        encoder = encoder_from_checkpoint(root, backend)
+    elif te_dir.exists():
+        encoder = HFTextEncoder(str(te_dir))
+    else:
+        encoder = MockTextEncoder(cfg.txt_in_dim, cfg.pooled_dim or None)
     return params, vae_cfg, vae_params, encoder
 
 
@@ -440,6 +559,9 @@ def main(argv=None):
     from regione_tpu.weights import checkpoint
 
     cfg = get_config(args.backend)
+    # backend=None: the offline converter only saves transformer/vae trees;
+    # don't pay for loading the multi-GB prompt encoder here (the runtime
+    # loading path, cli.main build_pipeline, wires the per-backend recipe)
     params, vae_cfg, vae_params, _enc = load_converted(args.model_path, cfg)
     checkpoint.save(f"{args.out}/transformer", params)
     checkpoint.save(f"{args.out}/vae", vae_params)

@@ -57,6 +57,98 @@ def test_mmdit_with_connector_is_timestep_dependent():
     assert not np.allclose(v1, v2)  # text path depends on t via the connector
 
 
+def test_connector_matches_torch_oracle_from_checkpoint_naming():
+    """Convert a synthesized Step1X Qwen2Connector state dict and check
+    connector_apply against an independent torch re-implementation of the
+    reference connector forward (token refiner + global projection; invoked
+    by the reference at RegionE/Step1XEdit/inplace.py:514-520).  Covers the
+    fused-qkv split, LayerNorm affine mapping, gate-only AdaLN, and the
+    raw-feature pooled head with (1 + scale_factor) scaling."""
+    import torch
+    from regione_tpu.models.layers import timestep_embedding
+    from regione_tpu.weights.convert import convert_connector
+    from tests.test_convert import synth_connector_state
+
+    cfg = ConnectorConfig(in_dim=24, hidden=24, heads=3, depth=2,
+                          pooled_dim=8, time_embed_dim=32,
+                          dtype=jnp.float32)
+    p = init_connector(jax.random.PRNGKey(7), cfg)
+    # randomize the norm scales/biases and scale_factor so the mapping of
+    # each is actually exercised (init is ones/zeros)
+    rng = np.random.default_rng(7)
+    p = jax.tree.map(
+        lambda x: jnp.asarray(
+            rng.standard_normal(x.shape) * 0.3, jnp.float32), p)
+    state = synth_connector_state(p, cfg)
+    back = convert_connector(state, cfg)
+    back_j = jax.tree.map(jnp.asarray, back)
+
+    feats = rng.standard_normal((2, 6, cfg.in_dim)).astype(np.float32)
+    mask = np.asarray([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]], bool)
+    t = np.asarray([0.7, 0.2], np.float32)
+
+    out, y = connector_apply(back_j, cfg, jnp.asarray(feats),
+                             jnp.asarray(t), jnp.asarray(mask))
+
+    # --- torch oracle over the SAME torch-naming state dict --------------
+    sd = {k: torch.tensor(np.asarray(v, np.float32))
+          for k, v in state.items()}
+
+    def lin(name, x):
+        return x @ sd[f"connector.{name}.weight"].T + sd[f"connector.{name}.bias"]
+
+    xt = torch.tensor(feats)
+    m = torch.tensor(mask.astype(np.float32)).unsqueeze(-1)
+    mean_raw = (xt * m).sum(1) / m.sum(1)
+    y_ref = lin("global_proj_out",
+                mean_raw * (1 + sd["connector.scale_factor"]))
+
+    # frequency embedding is a shared math primitive (flux convention)
+    t_freq = torch.tensor(np.asarray(
+        timestep_embedding(jnp.asarray(t), cfg.time_embed_dim), np.float32))
+    temb = lin("S.t_embedder.mlp.2",
+               torch.nn.functional.silu(lin("S.t_embedder.mlp.0", t_freq)))
+    cemb = lin("S.c_embedder.linear_2",
+               torch.nn.functional.silu(lin("S.c_embedder.linear_1", mean_raw)))
+    c = temb + cemb
+    h = lin("S.input_embedder", xt)
+    hd = cfg.hidden // cfg.heads
+    for i in range(cfg.depth):
+        b = f"S.individual_token_refiner.blocks.{i}"
+        gates = lin(f"{b}.adaLN_modulation.1", torch.nn.functional.silu(c))
+        gate_msa, gate_mlp = gates.chunk(2, dim=-1)
+        nx = torch.nn.functional.layer_norm(
+            h, (cfg.hidden,), sd[f"connector.{b}.norm1.weight"],
+            sd[f"connector.{b}.norm1.bias"], eps=1e-6)
+        qkv = lin(f"{b}.self_attn_qkv", nx)
+        q, k, v = qkv.chunk(3, dim=-1)
+
+        def heads(x):
+            bb, s, _ = x.shape
+            return x.reshape(bb, s, cfg.heads, hd).transpose(1, 2)
+
+        key_mask = torch.tensor(mask)[:, None, None, :]
+        attn = torch.nn.functional.scaled_dot_product_attention(
+            heads(q), heads(k), heads(v), attn_mask=key_mask)
+        attn = attn.transpose(1, 2).reshape(h.shape)
+        h = h + gate_msa.unsqueeze(1) * lin(f"{b}.self_attn_proj", attn)
+        nx2 = torch.nn.functional.layer_norm(
+            h, (cfg.hidden,), sd[f"connector.{b}.norm2.weight"],
+            sd[f"connector.{b}.norm2.bias"], eps=1e-6)
+        h = h + gate_mlp.unsqueeze(1) * lin(
+            f"{b}.mlp.fc2",
+            torch.nn.functional.silu(lin(f"{b}.mlp.fc1", nx2)))
+
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    # padded query rows are ignored downstream; compare valid rows only
+    out_np, ref_np = np.asarray(out), h.numpy()
+    for bi in range(2):
+        valid = int(mask[bi].sum())
+        np.testing.assert_allclose(out_np[bi, :valid], ref_np[bi, :valid],
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_txt_bias_masks_text_in_both_streams():
     """Masked text columns must not influence image outputs in dense OR
     rags mode — covers single blocks (txt-in-stream) + double blocks."""
