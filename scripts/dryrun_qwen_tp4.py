@@ -1,13 +1,16 @@
 """Multi-chip shape-real dryrun of the FULL production presets (no
 weights materialized).
 
-AOT-compiles a full production preset — real 1024^2 token counts (64x64
-grid -> 8192 KV rows), real text length, all CFG rows — over a (dp, tp)
-virtual CPU mesh with the GSPMD shardings from
-regione_tpu.parallel.sharding, then reads XLA's own per-device memory
-analysis.  Proves that (a) every multi-GB leaf is sharded, (b) the whole
-step compiles and partitions, and (c) the per-device byte budget fits a
-16 GiB v5e (VERDICT r1 item 8).
+AOT-compiles ALL FOUR sampler segments (warm dense scan, partition +
+cache build, RAGS/refresh rest, SMS tail — core/sampler.py:108-111) of a
+full production preset — real 1024^2 token counts (64x64 grid -> 8192 KV
+rows), real text length, all CFG rows — over a (dp, tp) virtual CPU mesh
+with the GSPMD shardings from regione_tpu.parallel.sharding, then reads
+XLA's own per-device memory analysis of EACH program.  Proves that
+(a) every multi-GB leaf is sharded, (b) every segment compiles and
+partitions, and (c) each segment's per-device byte budget fits a 16 GiB
+v5e (VERDICT r1 item 8 / r2 missing #5 — the warm/part/rest/SMS split
+changes live sets, so a one-step analysis does not bound the whole edit).
 
 Defaults to the hardest case (Qwen 20B, dp=2 x tp=4); --preset
 step1x-edit/flux-kontext with --tp 2 covers the 12B backbones' 1024px
@@ -15,7 +18,7 @@ multi-chip configurations.
 
 Run:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
       XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python scripts/dryrun_qwen_tp4.py [--int8] \
+      python scripts/dryrun_qwen_tp4.py [--int8] [--cache-int8] \
           [--preset step1x-edit --tp 2]
 """
 
@@ -40,10 +43,17 @@ def main():
     ap.add_argument("--preset", default="qwen-image-edit",
                     choices=["qwen-image-edit", "step1x-edit",
                              "flux-kontext"])
+    ap.add_argument("--cache-int8", action="store_true",
+                    help="int8 KV cache (the production configuration for "
+                         "all FULLSIZE rows)")
     ap.add_argument("--grid", type=int, default=64)
     ap.add_argument("--t-txt", type=int, default=None)
     ap.add_argument("--tp", type=int, default=4)
     ap.add_argument("--dp", type=int, default=2)
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="RAGS capacity bucket for the rest segment "
+                         "(default: 25%% of the noise tokens, the forced-"
+                         "mask benchmark fraction, rounded up to 128)")
     args = ap.parse_args()
     if args.t_txt is None:
         args.t_txt = 128 if args.preset == "step1x-edit" else 512
@@ -68,11 +78,13 @@ def main():
     from regione_tpu.pipelines.qwen_image_edit import QwenImageEditPipeline
     from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
 
+    import dataclasses
     cfg = get_config(args.preset)
     if args.act_int8:
-        import dataclasses
         assert args.int8, "--act-int8 requires --int8"
         cfg = dataclasses.replace(cfg, act_int8=True)
+    if args.cache_int8:
+        cfg = dataclasses.replace(cfg, cache_int8=True)
     is_flux = args.preset == "flux-kontext"
     batch_cfg = 1 if is_flux else 2  # flux: guidance-embedded single fwd
     grid, t_txt = args.grid, args.t_txt
@@ -140,45 +152,73 @@ def main():
            "step1x-edit": Step1XEditPipeline,
            "flux-kontext": FluxKontextPipeline}[args.preset]
     pipe = cls(cfg, None, DEFAULT_PARAMS[args.preset])
+    sampler = pipe.sampler_for(grid, grid, t_txt, batch_cfg)
 
-    def full_step(lat, sigma, cache, ctx):
-        v, cache = pipe.dense_forward(lat, sigma, cache, ctx, True)
-        return lat + (-0.03) * v.astype(jnp.float32), cache
+    # RAGS capacity bucket: 25% edited (the forced-mask benchmark
+    # fraction) rounded up to the 128-granular MXU bucket
+    cap = args.capacity or -(-s // 4 // 128) * 128
+    cond_abs = jax.ShapeDtypeStruct((1, s, cfg.in_channels), jnp.float32,
+                                    sharding=NamedSharding(mesh, P()))
+    ids_abs = jax.ShapeDtypeStruct((cap,), jnp.int32,
+                                   sharding=NamedSharding(mesh, P()))
+    mask_abs = jax.ShapeDtypeStruct((s,), jnp.bool_,
+                                    sharding=NamedSharding(mesh, P()))
 
-    print(f"[dryrun] lowering+compiling full {args.preset} "
-          f"({cfg.depth_double}+{cfg.depth_single} blocks) at grid {grid} "
-          f"(s_kv={s_kv}, t_txt={t_txt}) on "
-          f"mesh {dict(mesh.shape)} int8={args.int8} ...", file=sys.stderr)
-    t0 = time.perf_counter()
-    with mesh:
-        sigma_abs = jax.ShapeDtypeStruct((), jnp.float32,
-                                         sharding=NamedSharding(mesh, P()))
-        compiled = (jax.jit(full_step)
-                    .lower(lat_abs, sigma_abs, cache_abs, ctx_abs)
-                    .compile())
-    compile_s = time.perf_counter() - t0
-    ma = compiled.memory_analysis()
+    # the four segment programs, exactly as sample() dispatches them
+    # (core/sampler.py:145-176)
+    segs = [("warm", sampler._warm_jit, (lat_abs, ctx_abs)),
+            ("part", sampler._part_jit, (lat_abs, cond_abs, ctx_abs, None)),
+            ("rest", sampler._rest_jit,
+             (lat_abs, ids_abs, mask_abs, cache_abs, ctx_abs))]
+    if sampler._sms_steps:
+        segs.append(("sms", sampler._sms_jit, (lat_abs, ctx_abs)))
+
+    seg_rows = {}
+    all_fit = True
+    for name, jitted, abs_args in segs:
+        print(f"[dryrun] lowering+compiling segment '{name}' of full "
+              f"{args.preset} ({cfg.depth_double}+{cfg.depth_single} "
+              f"blocks) at grid {grid} (s_kv={s_kv}, t_txt={t_txt}, "
+              f"cap={cap}) on mesh {dict(mesh.shape)} int8={args.int8} "
+              f"cache_int8={args.cache_int8} ...", file=sys.stderr)
+        t0 = time.perf_counter()
+        with mesh:
+            compiled = jitted.lower(*abs_args).compile()
+        ma = compiled.memory_analysis()
+        # donated args (latents, the rest segment's cache) alias their
+        # outputs — count those buffers once
+        alias = getattr(ma, "alias_size_in_bytes", 0)
+        resident = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                    - alias)
+        fits = resident < 16 * 2**30 * 0.92
+        all_fit = all_fit and fits
+        seg_rows[name] = {
+            "compile_s": round(time.perf_counter() - t0, 1),
+            "argument_gib_per_device": round(
+                ma.argument_size_in_bytes / 2**30, 3),
+            "output_gib_per_device": round(
+                ma.output_size_in_bytes / 2**30, 3),
+            "alias_gib_per_device": round(alias / 2**30, 3),
+            # CPU-backend temp is NOT representative of TPU: without the
+            # Pallas flash kernel the CPU path materializes fp32 [B,H,T,S]
+            # attention logits (~3.6 GiB/layer at this geometry), which
+            # never exist on TPU.  The TPU-relevant budget is resident
+            # (weights+cache+IO, exact) + the small fused-activation
+            # working set (utils.memplan).
+            "temp_gib_per_device_cpu_path": round(
+                ma.temp_size_in_bytes / 2**30, 3),
+            "resident_gib_per_device": round(resident / 2**30, 3),
+            "fits_v5e_16g": fits,
+        }
     out = {
         "preset": args.preset,
         "mesh": dict(mesh.shape),
         "int8": args.int8,
         "act_int8": args.act_int8,
-        "grid": grid, "t_txt": t_txt, "s_kv": s_kv,
-        "compile_s": round(compile_s, 1),
-        "argument_gib_per_device": round(
-            ma.argument_size_in_bytes / 2**30, 3),
-        "output_gib_per_device": round(ma.output_size_in_bytes / 2**30, 3),
-        # CPU-backend temp is NOT representative of TPU: without the Pallas
-        # flash kernel the CPU path materializes fp32 [B,H,T,S] attention
-        # logits (~3.6 GiB/layer at this geometry), which never exist on
-        # TPU.  The TPU-relevant budget is arguments (weights+cache+IO,
-        # exact) + the small fused-activation working set (utils.memplan).
-        "temp_gib_per_device_cpu_path": round(
-            ma.temp_size_in_bytes / 2**30, 3),
-        "resident_gib_per_device": round(
-            (ma.argument_size_in_bytes + ma.output_size_in_bytes) / 2**30, 3),
-        "fits_v5e_16g": (ma.argument_size_in_bytes + ma.output_size_in_bytes)
-                        < 16 * 2**30 * 0.92,
+        "cache_int8": args.cache_int8,
+        "grid": grid, "t_txt": t_txt, "s_kv": s_kv, "capacity": cap,
+        "segments": seg_rows,
+        "all_segments_fit_v5e_16g": all_fit,
         "big_replicated_leaves": big_replicated,
     }
     print(json.dumps(out))
