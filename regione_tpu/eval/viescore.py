@@ -46,22 +46,92 @@ _PQ_PROMPT = (
 )
 
 
-def parse_scores(text: str) -> list[float]:
-    """Extract the score list from a (possibly sloppy) model reply
-    (equivalent of viescore/utils.py mllm_output_to_dict)."""
-    m = re.search(r"\{.*\}", text, re.DOTALL)
-    if m:
+# Delimiter some judge prompts ask the model to wrap its JSON in
+# (reference viescore/utils.py mllm_output_to_dict, :165).
+_DELIM = "||V^=^V||"
+
+
+def _coerce_score_list(raw, n_expected: int | None) -> list[float] | None:
+    """Validate a candidate score value: numeric list (or scalar), every
+    entry in [0, 10] after clamping, and — when the prompt asked for a known
+    number of scores — the right length.  Returns floats or None."""
+    if isinstance(raw, (int, float)) and not isinstance(raw, bool):
+        raw = [raw]
+    if not isinstance(raw, list) or not raw:
+        return None
+    out = []
+    for x in raw:
+        if isinstance(x, bool) or not isinstance(x, (int, float)):
+            return None
+        if x < 0 or x > 10:
+            # tolerate mild float spill (10.0000001) but reject scale text
+            # artifacts like 100; clamp the rest
+            if x < -0.5 or x > 10.5:
+                return None
+            x = min(max(float(x), 0.0), 10.0)
+        out.append(float(x))
+    if n_expected is not None and len(out) != n_expected:
+        return None
+    return out
+
+
+def _fix_json(s: str) -> str:
+    """Best-effort repair of near-JSON judge replies: quote bare keys and
+    bare string values (reference utils.py fix_json behavior)."""
+    s = re.sub(r"([{,]\s*)([A-Za-z_]\w*)\s*:", r'\1"\2":', s)
+    s = re.sub(r"(\"\w+\"\s*:\s*)'([^']*)'", r'\1"\2"', s)  # single quotes
+    s = re.sub(r"(:\s*)([A-Za-z_][\w .!?'-]*?)(\s*[,}])",   # bare word values
+               r'\1"\2"\3', s)
+    s = re.sub(r",\s*([}\]])", r"\1", s)                    # trailing commas
+    return s
+
+
+def parse_scores(text: str, n_expected: int | None = None
+                 ) -> list[float] | None:
+    """Extract a validated score list from a (possibly sloppy) judge reply.
+
+    Matches the reference's mllm_output_to_dict acceptance set
+    (evaluation/GEdit-Bench/viescore/utils.py:154-235): delimiter-wrapped or
+    bare JSON with a "score" field (with a quote-bare-keys repair pass),
+    a bare ``[n, m]`` list, or a bare integer — each validated to numeric
+    entries in [0, 10] (and to ``n_expected`` entries when given).  Returns
+    None on anything else; notably there is NO grab-any-number fallback, so
+    prose like "On a scale of 0 to 10..." does not parse as [0.0, 10.0].
+    """
+    text = text.strip()
+    if text.count(_DELIM) == 2:
+        lo = text.find(_DELIM) + len(_DELIM)
+        hi = text.rfind(_DELIM)
+        text = text[lo:hi].strip()
+
+    # JSON object: first '{' .. last '}'
+    lo, hi = text.find("{"), text.rfind("}") + 1
+    if lo != -1 and hi > lo:
+        blob_str = text[lo:hi].replace("\n", " ")
+        for candidate in (blob_str, _fix_json(blob_str)):
+            try:
+                blob = json.loads(candidate)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(blob, dict):
+                got = _coerce_score_list(blob.get("score"), n_expected)
+                if got is not None:
+                    return got
+        return None
+
+    # bare list: first '[' .. last ']'
+    lo, hi = text.find("["), text.rfind("]") + 1
+    if lo != -1 and hi > lo:
         try:
-            blob = json.loads(m.group(0))
-            s = blob.get("score")
-            if isinstance(s, (int, float)):
-                return [float(s)]
-            if isinstance(s, list):
-                return [float(x) for x in s]
-        except (json.JSONDecodeError, TypeError, ValueError):
-            pass
-    nums = re.findall(r"\b(\d+(?:\.\d+)?)\b", text)
-    return [float(x) for x in nums[:2]] if nums else []
+            return _coerce_score_list(json.loads(text[lo:hi]), n_expected)
+        except json.JSONDecodeError:
+            return None
+
+    # whole reply is a single number
+    try:
+        return _coerce_score_list(float(text), n_expected)
+    except ValueError:
+        return None
 
 
 class DryRunBackbone:
@@ -154,24 +224,43 @@ class VIEScore:
     def __init__(self, backbone):
         self.backbone = backbone
 
-    def evaluate(self, images: list, instruction: str) -> dict:
+    def evaluate(self, images: list, instruction: str,
+                 give_up_parsing: bool = False) -> dict:
+        """Score one triple.  Raises ValueError on an unparseable judge
+        reply so the caller's retry loop re-queries (the reference returns
+        False and retries, run_gedit_score.py:133-154); with
+        ``give_up_parsing`` a neutral mid-scale guess is substituted instead
+        (reference utils.py:186-193 guesses randomly; we use a fixed 5 so
+        reruns are reproducible) and flagged in the result."""
         src, edited = images
         sc_raw = self.backbone.get_parsed_output(
             _SC_PROMPT.format(instruction=instruction), [src, edited])
         pq_raw = self.backbone.get_parsed_output(_PQ_PROMPT, [edited])
-        sc = parse_scores(sc_raw) or [0.0]
-        pq = parse_scores(pq_raw) or [0.0]
-        o = math.sqrt(max(min(sc), 0.0) * max(min(pq), 0.0))
+        sc = parse_scores(sc_raw, n_expected=2)
+        pq = parse_scores(pq_raw, n_expected=2)
+        guessed = False
+        if sc is None or pq is None:
+            if not give_up_parsing:
+                raise ValueError(
+                    f"unparseable judge reply: sc={sc_raw!r} pq={pq_raw!r}")
+            sc = sc if sc is not None else [5.0, 5.0]
+            pq = pq if pq is not None else [5.0, 5.0]
+            guessed = True
+        o = math.sqrt(min(sc) * min(pq))
         return {"sc": min(sc), "pq": min(pq), "o": o,
-                "sc_raw": sc, "pq_raw": pq}
+                "sc_raw": sc, "pq_raw": pq, "guessed": guessed}
 
 
 def process_with_retry(fn, *args, max_tries: int = 10000,
-                       backoff: float = 1.0, **kw):
-    """Linear-backoff retry loop (reference run_gedit_score.py:31-61)."""
+                       backoff: float = 1.0, no_retry: tuple = (), **kw):
+    """Linear-backoff retry loop (reference run_gedit_score.py:31-61).
+    Exception types in ``no_retry`` propagate immediately so the caller can
+    apply a different policy (e.g. re-query on parse failure)."""
     for attempt in range(max_tries):
         try:
             return fn(*args, **kw)
+        except no_retry:
+            raise
         except Exception:
             if attempt == max_tries - 1:
                 raise
@@ -179,7 +268,7 @@ def process_with_retry(fn, *args, max_tries: int = 10000,
 
 
 def run_task(scorer: VIEScore, task_dir: str, gen_dir: str, out_csv: str,
-             workers: int = 6) -> list[dict]:
+             workers: int = 6, parse_tries: int = 5) -> list[dict]:
     """Score one task dir; resumes (skips) if out_csv exists
     (reference run_gedit_score.py:109-115, 133-154)."""
     out_path = Path(out_csv)
@@ -197,7 +286,20 @@ def run_task(scorer: VIEScore, task_dir: str, gen_dir: str, out_csv: str,
             Path(task_dir) / "img" / item["image"]).convert("RGB"))
         edited = np.asarray(Image.open(
             Path(gen_dir) / f"{key}.png").convert("RGB"))
-        r = process_with_retry(scorer.evaluate, [src, edited], item["prompt"])
+        # parse failures (ValueError) get parse_tries fresh queries then a
+        # flagged neutral guess (reference give_up_parsing, utils.py:186-193);
+        # transport/API errors keep the long linear-backoff retry
+        # (run_gedit_score.py:31-61)
+        for _ in range(parse_tries):
+            try:
+                r = process_with_retry(scorer.evaluate, [src, edited],
+                                       item["prompt"], no_retry=(ValueError,))
+                break
+            except ValueError:
+                continue
+        else:
+            r = process_with_retry(scorer.evaluate, [src, edited],
+                                   item["prompt"], give_up_parsing=True)
         return {"key": key, "sc": r["sc"], "pq": r["pq"], "o": r["o"]}
 
     keys = [k for k in meta if (Path(gen_dir) / f"{k}.png").exists()]

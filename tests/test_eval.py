@@ -84,13 +84,93 @@ def test_metric_csv_and_merge(tmp_path):
 
 def test_viescore_parse_and_dryrun():
     assert viescore.parse_scores('{"score": [7, 8.5], "reasoning": "x"}') == [7.0, 8.5]
-    assert viescore.parse_scores("scores: 6 and 7") == [6.0, 7.0]
-    assert viescore.parse_scores("no numbers here") == []
     s = viescore.VIEScore(viescore.DryRunBackbone())
     img = np.zeros((8, 8, 3), np.uint8)
     r = s.evaluate([img, img], "make it red")
     assert 0 <= r["o"] <= 10
     assert r["o"] == pytest.approx(math.sqrt(r["sc"] * r["pq"]))
+    assert not r["guessed"]
+
+
+def test_viescore_parse_sloppy_corpus():
+    """The acceptance/rejection set of the reference's mllm_output_to_dict
+    (evaluation/GEdit-Bench/viescore/utils.py:154-235) over sloppy replies."""
+    p = viescore.parse_scores
+    # delimiter-wrapped JSON
+    assert p('||V^=^V||{"score": [6, 9], "reasoning": "ok"}||V^=^V||') == [6.0, 9.0]
+    # JSON buried in prose, multi-line reasoning
+    assert p('Sure! Here is my rating:\n{"score": [3, 4],\n'
+             '"reasoning": "the\nedit is partial"}\nHope that helps.') == [3.0, 4.0]
+    # scalar score coerced to a list
+    assert p('{"score": 7, "reasoning": "fine"}') == [7.0]
+    # near-JSON with bare keys (fix_json repair path)
+    assert p('{score: [5, 6], reasoning: ok}') == [5.0, 6.0]
+    # trailing comma
+    assert p('{"score": [5, 6], "reasoning": "ok",}') == [5.0, 6.0]
+    # bare list reply
+    assert p('[6, 0]') == [6.0, 0.0]
+    # bare integer reply
+    assert p('8') == [8.0]
+    # mild float spill clamps; out-of-scale rejects
+    assert p('{"score": [10.3, 0]}') == [10.0, 0.0]
+    assert p('{"score": [100, 5]}') is None
+    assert p('{"score": [-3, 5]}') is None
+    # scale text must NOT parse as scores (VERDICT r2 weak #3)
+    assert p("On a scale of 0 to 10, I would need to see the image.") is None
+    assert p("no numbers here") is None
+    assert p('{"reasoning": "forgot the scores"}') is None
+    assert p('{"score": ["high", "low"]}') is None
+    assert p('{"score": [true, false]}') is None
+    # expected-length validation
+    assert p('{"score": [7]}', n_expected=2) is None
+    assert p('[1, 2, 3]', n_expected=2) is None
+    assert p('{"score": [7, 8]}', n_expected=2) == [7.0, 8.0]
+
+
+def test_viescore_give_up_parsing():
+    """An unparseable judge reply raises (so the runner re-queries); with
+    give_up_parsing it degrades to a flagged neutral guess."""
+    class ProseBackbone:
+        def get_parsed_output(self, prompt, images):
+            return "I would rate this somewhere between good and great."
+
+    s = viescore.VIEScore(ProseBackbone())
+    img = np.zeros((8, 8, 3), np.uint8)
+    with pytest.raises(ValueError):
+        s.evaluate([img, img], "edit")
+    r = s.evaluate([img, img], "edit", give_up_parsing=True)
+    assert r["guessed"] and r["sc"] == 5.0 and r["pq"] == 5.0
+
+
+def test_viescore_run_task_gives_up_on_prose(tmp_path):
+    """run_task completes (with flagged guesses) when the judge only ever
+    replies prose, instead of looping forever."""
+    from PIL import Image
+    task = tmp_path / "task"
+    (task / "img").mkdir(parents=True)
+    gen = tmp_path / "gen"
+    gen.mkdir()
+    img = np.zeros((8, 8, 3), np.uint8)
+    Image.fromarray(img).save(task / "img" / "k0.png")
+    Image.fromarray(img).save(gen / "k0.png")
+    with open(task / "metadata.jsonl", "w") as fh:
+        fh.write(json.dumps({"key": "k0", "image": "k0.png",
+                             "prompt": "edit"}) + "\n")
+
+    calls = []
+
+    class ProseBackbone:
+        def get_parsed_output(self, prompt, images):
+            calls.append(1)
+            return "on a scale of 0 to 10 this is hard to say"
+
+    out_csv = tmp_path / "scores" / "vie.csv"
+    rows = viescore.run_task(viescore.VIEScore(ProseBackbone()), str(task),
+                             str(gen), str(out_csv), parse_tries=2)
+    assert len(rows) == 1
+    assert float(rows[0]["sc"]) == 5.0 and float(rows[0]["o"]) == 5.0
+    # 2 parse attempts + 1 give-up pass, 2 backbone queries each
+    assert len(calls) == 6
 
 
 def test_viescore_task_runner_and_stats(tmp_path):
