@@ -192,7 +192,7 @@ class RegionESampler:
 
     def sample_batch(self, latents0_b: jnp.ndarray, cond_b: jnp.ndarray,
                      ctx_b, ctx_axes, forced_masks: jnp.ndarray | None = None,
-                     ) -> tuple[jnp.ndarray, SampleStats]:
+                     ) -> tuple[jnp.ndarray, list[SampleStats]]:
         """Multi-image batch: vmap the two compiled segments over a request
         axis (throughput serving; the reference is strictly one image at a
         time).  latents0_b/cond_b: [B, 1, S, C]; ctx_b: EditInputs whose
@@ -200,7 +200,8 @@ class RegionESampler:
         matching vmap in_axes pytree (0 for per-image leaves, None for
         shared ones — params/rope).  All images share one capacity bucket
         (the max edited count) so a single compiled program serves the
-        whole batch.  Returns ([B, 1, S, C], stats-of-max-image)."""
+        whole batch.  Returns ([B, 1, S, C], per-image stats list — each
+        image's own edited_tokens; capacity/step counts are shared)."""
         s_noise = latents0_b.shape[2]
         fm_axis = None if forced_masks is None else 0
         # cache the vmapped jits (a fresh closure per call would recompile)
@@ -251,11 +252,12 @@ class RegionESampler:
                     jax.vmap(self._sms, in_axes=(0, ctx_axes)),
                     donate_argnums=(0,))
             lat_b = self._batch_jits[skey](lat_b, ctx_b)
-        stats = SampleStats(
-            edited_tokens=int(counts.max()), capacity=cap, seq_len=s_noise,
+        stats = [SampleStats(
+            edited_tokens=int(c), capacity=cap, seq_len=s_noise,
             reuse_steps=sum(sp.reuse for sp in self.plan),
             dense_steps=sum(sp.dense for sp in self.plan),
             rags_steps=sum(not sp.dense for sp in self.plan))
+            for c in counts]
         return lat_b, stats
 
     def sample_dense(self, latents0: jnp.ndarray, ctx) -> jnp.ndarray:

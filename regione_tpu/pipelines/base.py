@@ -399,7 +399,7 @@ class EditPipelineBase:
         pipelines/serve.py memory note).  Params stay replicated (or
         TP-sharded if the caller pre-sharded them).
 
-        Returns (list of [1, S, C] latents, stats)."""
+        Returns (list of [1, S, C] latents, list of per-image stats)."""
         assert len(latents_list) == len(ctx_list) >= 1
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec

@@ -38,10 +38,19 @@ class EditRequest:
 
 @dataclasses.dataclass
 class EditResult:
+    """One edited image + observability.
+
+    `stats` is always THIS request's SampleStats (per-image edited_tokens,
+    even in batched mode).  `latency_s` is the request's wall time for
+    `run()`; for `run_batched()` the chunk executes as ONE device program,
+    so `latency_s` is the amortized share (group_latency_s / group_size)
+    and the true group numbers are reported alongside."""
     image: np.ndarray
     stats: Any
     latency_s: float
     prep_s: float
+    group_size: int = 1
+    group_latency_s: float | None = None
 
 
 class EditService:
@@ -101,11 +110,11 @@ class EditService:
             for lo in range(0, len(idxs), max_batch):
                 chunk = idxs[lo:lo + max_batch]
                 t0 = time.perf_counter()
-                outs, stats = self.pipe.edit_latents_batch(
+                outs, stats_list = self.pipe.edit_latents_batch(
                     [prepped[i][2] for i in chunk],
                     [prepped[i][1] for i in chunk], gh, gw, mesh=mesh)
-                per = (time.perf_counter() - t0) / len(chunk)
-                for i, lat in zip(chunk, outs):
+                group_s = time.perf_counter() - t0
+                for i, lat, st in zip(chunk, outs, stats_list):
                     z = V.unpack_latents(lat.astype(jnp.float32), gh, gw)
                     z = V.denormalize_latents(self.pipe.vae_cfg, z)
                     img = V.decode(self.pipe.vae_params["decoder"],
@@ -113,7 +122,9 @@ class EditService:
                     img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0, 1))[0]
                     results[i] = EditResult(
                         image=(img * 255).round().astype(np.uint8),
-                        stats=stats, latency_s=per, prep_s=prepped[i][5])
+                        stats=st, latency_s=group_s / len(chunk),
+                        prep_s=prepped[i][5], group_size=len(chunk),
+                        group_latency_s=group_s)
         return [results[i] for i in range(len(requests))]
 
     def run(self, requests: Sequence[EditRequest]) -> list[EditResult]:

@@ -39,15 +39,18 @@ def test_batch_matches_per_image():
         lat_list.append(jnp.asarray(
             rng.standard_normal((1, S, cfg.in_channels)), jnp.float32))
 
-    outs_b, stats = pipe.edit_latents_batch(lat_list, ctx_list, GRID, GRID)
-    assert len(outs_b) == B and stats.capacity >= 8
+    outs_b, stats_b = pipe.edit_latents_batch(lat_list, ctx_list, GRID, GRID)
+    assert len(outs_b) == B and len(stats_b) == B
+    assert stats_b[0].capacity >= 8
 
     # per-image reference (pin the shared capacity so shapes match exactly)
     pipe2 = EditPipelineBase(cfg, params, re.replace(
-        rags_capacity=stats.capacity), gamma=gamma_for("step1x-edit"))
+        rags_capacity=stats_b[0].capacity), gamma=gamma_for("step1x-edit"))
     for i in range(B):
         ref, st = pipe2.edit_latents(lat_list[i], ctx_list[i], GRID, GRID)
         assert 0 < st.edited_tokens < S
+        # batched stats are per-image, not group max (serve.py honesty)
+        assert stats_b[i].edited_tokens == st.edited_tokens
         np.testing.assert_allclose(np.asarray(outs_b[i]), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=f"image {i}")

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 
 from regione_tpu.core.config import RegionEParams
 from regione_tpu.models import vae as V
@@ -56,3 +57,9 @@ def test_edit_service_batched_grouping():
     assert len(results) == 3
     for r in results:
         assert r.image.dtype == np.uint8 and np.isfinite(r.latency_s)
+        # per-image stats + honest group latency accounting
+        assert r.stats.edited_tokens >= 0
+        assert r.group_latency_s == pytest.approx(
+            r.latency_s * r.group_size)
+    assert [r.group_size for r in results] == [2, 2, 1]
+    assert results[0].group_latency_s == results[1].group_latency_s
