@@ -77,11 +77,17 @@ def build_pipeline(args):
         encoder = MockTextEncoder(cfg.txt_in_dim,
                                   cfg.pooled_dim or None, max_length=128)
 
+    if getattr(args, "act_int8", False) and not getattr(args, "int8", False):
+        # W8A8 needs int8 weights: activation quant alone would dequantize
+        # nothing and the int8 MXU path never engages (ADVICE r2)
+        raise SystemExit("--act_int8 requires --int8 (W8A8 = int8 weights "
+                         "+ int8 activations)")
     if getattr(args, "int8", False):
         from regione_tpu.ops.quant import quantize_params
-        params = quantize_params(params,
-                                 quantize_mods=getattr(args, "act_int8",
-                                                       False))
+        quantize_mods = getattr(args, "quantize_mods", None)
+        if quantize_mods is None:
+            quantize_mods = getattr(args, "act_int8", False)
+        params = quantize_params(params, quantize_mods=quantize_mods)
     if getattr(args, "act_int8", False):
         import dataclasses
         cfg = dataclasses.replace(cfg, act_int8=True)
@@ -229,7 +235,15 @@ def main(argv=None):
                     help="W8A8: with --int8, dynamically quantize "
                          "activations per row onto the int8 MXU (~20%% "
                          "lower latency; validate PSNR per checkpoint — "
-                         "docs/RUNBOOK_REAL_WEIGHTS.md)")
+                         "docs/RUNBOOK_REAL_WEIGHTS.md).  Also widens "
+                         "weight quant to the modulation projections "
+                         "unless --quantize_mods overrides")
+    ap.add_argument("--quantize_mods", default=None,
+                    type=lambda s: s.lower() in ("1", "true", "yes"),
+                    help="int8-quantize the modulation projections too "
+                         "(default: follows --act_int8; set false to A/B "
+                         "pure activation quant against weight-only "
+                         "--int8 without the extra weight coverage)")
     args = ap.parse_args(argv)
 
     from regione_tpu.utils.telemetry import enable_compile_cache

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import contextlib
 import math
+import threading
 from typing import Sequence
 
 import jax
@@ -40,22 +41,23 @@ import numpy as np
 # 177 vs 129 T/s incl. readback on [9216,3072]x[3072,12288]); weight-only
 # int8 with bf16 activations gets none of that (the dequantized operand is
 # bf16, 125 T/s).  Trace-time flag — each jitted program bakes its mode in.
-_ACT_INT8 = False
+# Thread-local so concurrent traces (e.g. a server building two pipelines
+# with different act_int8 settings) can't bake each other's mode in.
+_ACT_INT8 = threading.local()
 
 
 @contextlib.contextmanager
 def act_int8(enabled: bool = True):
-    global _ACT_INT8
-    prev = _ACT_INT8
-    _ACT_INT8 = enabled
+    prev = act_int8_active()
+    _ACT_INT8.on = enabled
     try:
         yield
     finally:
-        _ACT_INT8 = prev
+        _ACT_INT8.on = prev
 
 
 def act_int8_active() -> bool:
-    return _ACT_INT8
+    return getattr(_ACT_INT8, "on", False)
 
 
 def quantize_rows(x):
@@ -90,7 +92,7 @@ def linear_q8(p, x8, s_a, out_dtype=jnp.bfloat16):
 
 def linear(p, x):
     if "w_q" in p:  # weight-only int8 (regione_tpu.ops.quant)
-        if _ACT_INT8:
+        if act_int8_active():
             # W8A8: dynamic per-row activation quant -> int8 MXU matmul
             x8, s_a = quantize_rows(x)
             return linear_q8(p, x8, s_a, out_dtype=x.dtype)
@@ -111,7 +113,7 @@ def row_projector(x, p_probe):
     for the q/k/v trio and the single-block linear1 halves).  Otherwise
     the carry is `x` itself.  The carry is a pytree of ARRAYS so callers
     can thread it through `lax.optimization_barrier`."""
-    if _ACT_INT8 and "w_q" in p_probe:
+    if act_int8_active() and "w_q" in p_probe:
         out_dtype = x.dtype
 
         def proj(p, carry):

@@ -337,19 +337,45 @@ def _rows2_resident_kernel(q_ref, kt_ref, vt_ref, k_ref, v_ref, ks_ref,
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
+# Per-core VMEM by TPU generation (bytes).  The budget leaves ~1/4 of
+# physical VMEM for Mosaic's own scratch/pipelining overhead — 12 MiB of
+# v5e's 16 MB was validated on hardware (scripts/validate_tpu.sh); other
+# generations scale by the same 3/4 rule.
+_VMEM_BYTES = {
+    "v4": 16 * 2**20, "v5 lite": 16 * 2**20, "v5e": 16 * 2**20,
+    "v5": 32 * 2**20, "v5p": 32 * 2**20, "v6e": 32 * 2**20,
+    "v6 lite": 32 * 2**20,
+}
+
+
+@functools.cache
+def _vmem_budget() -> int:
+    """Scoped-VMEM budget for the rows2 working set, derived from the
+    detected device generation (ADVICE r2: a fixed 12 MiB would admit
+    too much on <16 MB parts and needlessly force the XLA fallback on
+    32 MB parts).  Unknown/CPU devices get the conservative v5e figure."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    phys = next((v for k, v in _VMEM_BYTES.items() if k in kind),
+                16 * 2**20)
+    return phys * 3 // 4
+
+
 def rows2_fits_vmem(t1: int, s: int, d: int, quant: bool) -> bool:
     """Whether the rows2 kernel's per-instance working set fits scoped
-    VMEM (16 MB/core on v5e).  The resident tenants: double-buffered
-    windowed fresh-K/V blocks (bf16), double-buffered cache K/V blocks
-    (int8 or bf16), and — for the int8 cache — the bf16 dequant scratch.
+    VMEM.  The resident tenants: double-buffered windowed fresh-K/V
+    blocks (bf16), double-buffered cache K/V blocks (int8 or bf16), and —
+    for the int8 cache — the bf16 dequant scratch.
     Measured failure: everything-edited at the 1024^2 dev grid (t1=4224
-    fresh rows over an 8192-row int8 cache) exceeds the limit by ~60 KB;
-    callers must fall back to the XLA path (sdpa_cached does)."""
+    fresh rows over an 8192-row int8 cache) exceeds the v5e limit by
+    ~60 KB; callers must fall back to the XLA path (sdpa_cached does)."""
     t1_pad = _round_up(t1, 128)
     fresh = 2 * 2 * t1_pad * d * 2                       # k+v, dbl-buffered
     cache = 2 * 2 * s * d * (1 if quant else 2)
     scratch = 2 * s * d * 2 if quant else 0
-    return fresh + cache + scratch <= 12 * 2**20
+    return fresh + cache + scratch <= _vmem_budget()
 
 
 @functools.partial(jax.jit,

@@ -98,6 +98,22 @@ def test_cli_evaluation_mode(tiny_cli, tmp_path):
     assert meta["k1"] == "edit 1"
 
 
+def test_cli_act_int8_requires_int8():
+    """--act_int8 without --int8 must hard-error instead of silently
+    running plain bf16 (ADVICE r2)."""
+    import argparse
+    import pytest
+    from regione_tpu.cli import main as cli
+
+    ns = argparse.Namespace(
+        backend="step1x-edit", preset="tiny", dev=False, model_path=None,
+        seed=0, warmup_step=6, post_step=2, refresh_step="16",
+        threshold=0.88, cache_threshold=0.02, erosion_dilation=True,
+        use_regione=True, int8=False, act_int8=True)
+    with pytest.raises(SystemExit, match="act_int8 requires"):
+        cli.build_pipeline(ns)
+
+
 def test_cli_w8a8_demo(tmp_path):
     """--int8 --act_int8 end-to-end through the real CLI (tiny preset):
     int8 weights + dynamic activation quant produce a valid image."""
