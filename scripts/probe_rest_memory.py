@@ -38,6 +38,13 @@ def main():
                     help="compile with Format(Layout.AUTO) entry layouts "
                          "(XLA picks param layouts; probes whether the "
                          "684 MB stacked-int8-weight relayout temps vanish)")
+    ap.add_argument("--auto-layout-paths", default=None,
+                    help="regex over param paths: ONLY matching leaves get "
+                         "Format(Layout.AUTO) entry layouts, everything "
+                         "else stays default (NOTES_ROUND3 item 3's untried "
+                         "per-argument pinning — whole-program AUTO "
+                         "exploded temps 1.49 -> 3.97 GiB).  E.g. "
+                         "'attn/(q|k|v|out)/w_q' or 'single/linear[12]/w_q'")
     args = ap.parse_args()
 
     import jax
@@ -91,13 +98,56 @@ def main():
     ids_abs = jax.ShapeDtypeStruct((CAP,), jnp.int32)
     mask_abs = jax.ShapeDtypeStruct((s,), jnp.bool_)
 
+    pinned = []
+    if args.auto_layout_paths:
+        import re as _re
+        from jax.experimental.layout import Format, Layout
+
+        def path_str(path):
+            return "/".join(str(getattr(k, "key", k)) for k in path)
+
+        def fmt_tree(tree, regex=None):
+            flat, tdef = jax.tree_util.tree_flatten_with_path(tree)
+            out = []
+            for p, _ in flat:
+                if regex is not None and _re.search(regex, path_str(p)):
+                    pinned.append(path_str(p))
+                    out.append(Format(Layout.AUTO))
+                else:
+                    out.append(Format())
+            return jax.tree_util.tree_unflatten(tdef, out)
+
+        params_fmt = fmt_tree(params_abs, args.auto_layout_paths)
+        assert pinned, f"no param path matched {args.auto_layout_paths!r}"
+        ctx_fmt = dataclasses.replace(
+            fmt_tree(dataclasses.replace(ctx_abs, extra={})),
+            extra={"params": params_fmt, "s_noise": Format()})
+        sampler._rest_jit = jax.jit(
+            sampler._rest,
+            donate_argnums=() if args.no_donate else (0, 3),
+            in_shardings=(Format(), Format(), Format(),
+                          fmt_tree(cache_abs), ctx_fmt))
+
     t0 = time.perf_counter()
     compiled = sampler._rest_jit.lower(
         lat_abs, ids_abs, mask_abs, cache_abs, ctx_abs).compile()
     ma = compiled.memory_analysis()
+    chosen = {}
+    if pinned:
+        # record XLA's chosen entry layouts for the pinned leaves so a
+        # loader could device_put weights in that format up front
+        flat_fmt, _ = jax.tree_util.tree_flatten_with_path(
+            compiled.input_formats[0])
+        for p, f in flat_fmt:
+            ps = "/".join(str(getattr(k, "key", k)) for k in p)
+            for want in pinned:
+                if ps.endswith(want) or want in ps:
+                    chosen[want] = str(getattr(f, "layout", f))
     print(json.dumps({
         "dd": args.dd, "ds": args.ds, "cache_int8": args.cache_int8,
         "donate": not args.no_donate,
+        **({"pinned_auto_layout": pinned,
+            "chosen_layouts": chosen} if pinned else {}),
         "compile_s": round(time.perf_counter() - t0, 1),
         "argument_gib": round(ma.argument_size_in_bytes / 2**30, 3),
         "output_gib": round(ma.output_size_in_bytes / 2**30, 3),
