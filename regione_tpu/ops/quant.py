@@ -119,24 +119,33 @@ def init_quantized(key, cfg, quantize_mods: bool = True):
     as `init_mmdit` does.  Used by benchmarks only; real checkpoints go
     through weights.convert + quantize_params.
 
-    Generation is chunked into one device program per top-level subtree
-    ("double", "single", ...): a single ~11.5 GiB-output program has been
-    observed to wedge the remote TPU runtime when launched while a previous
-    process's buffers are still being torn down.
+    Generation is chunked into one device program per LINEAR GROUP (the
+    {w_q, scale, b} / {w, b} dicts): a single ~11.5 GiB-output program has
+    been observed to wedge the remote TPU runtime when launched while a
+    previous process's buffers are still being torn down, and on the CPU
+    backend one program per top-level subtree allocates every leaf's
+    randint temps in one arena (~226 GB for the 60-block Qwen "double"
+    subtree — OOM on a 125 GB host).  The key folding matches _gen_like's
+    dict recursion exactly, so the generated values are bit-identical to
+    the coarser chunking.
     """
     from regione_tpu.models.mmdit import init_mmdit
 
     shapes = jax.eval_shape(
         lambda k: quantize_params(init_mmdit(k, cfg),
                                   quantize_mods=quantize_mods), key)
-    out = {}
-    for i, (name, sub) in enumerate(sorted(shapes.items())):
-        sub_key = jax.random.fold_in(key, i)
-        chunk = jax.jit(functools.partial(_gen_like, sub, path=f"/{name}"))(
-            k=sub_key)
+
+    def gen(tree, k, path=""):
+        if isinstance(tree, dict) and "w_q" not in tree and not (
+                "w" in tree and "b" in tree):
+            return {name: gen(sub, jax.random.fold_in(k, i),
+                              f"{path}/{name}")
+                    for i, (name, sub) in enumerate(sorted(tree.items()))}
+        chunk = jax.jit(functools.partial(_gen_like, tree, path=path))(k=k)
         jax.block_until_ready(chunk)
-        out[name] = chunk
-    return out
+        return chunk
+
+    return gen(shapes, key)
 
 
 # ---------------------------------------------------------------------------
