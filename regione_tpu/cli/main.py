@@ -82,12 +82,22 @@ def build_pipeline(args):
         # nothing and the int8 MXU path never engages (ADVICE r2)
         raise SystemExit("--act_int8 requires --int8 (W8A8 = int8 weights "
                          "+ int8 activations)")
-    if getattr(args, "int8", False):
+    if getattr(args, "int4", False) and getattr(args, "act_int8", False):
+        # int4 projections run the bf16 dot (no per-column int8 scale for
+        # the MXU s8xs8 path); mixing the flags would silently leave most
+        # of the model outside the W8A8 path the user asked for
+        raise SystemExit("--int4 and --act_int8 are mutually exclusive "
+                         "(int4 buys single-chip fit; W8A8 speed needs "
+                         "int8 weights)")
+    if getattr(args, "int8", False) or getattr(args, "int4", False):
         from regione_tpu.ops.quant import quantize_params
         quantize_mods = getattr(args, "quantize_mods", None)
         if quantize_mods is None:
-            quantize_mods = getattr(args, "act_int8", False)
-        params = quantize_params(params, quantize_mods=quantize_mods)
+            quantize_mods = bool(getattr(args, "act_int8", False)
+                                 or getattr(args, "int4", False))
+        params = quantize_params(
+            params, quantize_mods=quantize_mods,
+            bits=4 if getattr(args, "int4", False) else 8)
     if getattr(args, "act_int8", False):
         import dataclasses
         cfg = dataclasses.replace(cfg, act_int8=True)
@@ -231,6 +241,11 @@ def main(argv=None):
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 quantization of the DiT "
                          "(halves weight HBM; regione_tpu.ops.quant)")
+    ap.add_argument("--int4", action="store_true",
+                    help="nibble-packed int4 weights for the big DiT "
+                         "projections (modulations stay int8; implies "
+                         "--quantize_mods).  The single-chip format for "
+                         "the FULL 60-block 20B Qwen backbone")
     ap.add_argument("--act_int8", action="store_true",
                     help="W8A8: with --int8, dynamically quantize "
                          "activations per row onto the int8 MXU (~20%% "

@@ -90,7 +90,36 @@ def linear_q8(p, x8, s_a, out_dtype=jnp.bfloat16):
     return out * p["scale"].astype(out_dtype) + p["b"]
 
 
+def linear4(p, x):
+    """Nibble-packed int4 linear (regione_tpu.ops.quant.quantize_linear4).
+
+    The packed byte's low nibble is reduction row i, the high nibble row
+    i + in/2, so the matmul splits into two dots over the input halves —
+    the sign-extend shifts and group-scale multiplies fuse into each dot's
+    operand load (no unpacked [in, out] weight is ever materialized, and
+    no interleave copy exists in the graph).  Compute is bf16 on the MXU;
+    int4 buys FIT (single-chip residency for the 20B Qwen), not speed."""
+    from regione_tpu.ops.quant import unpack_int4
+    pk, scale4 = p["w_qp"], p["scale4"]
+    half, d_out = pk.shape[-2], pk.shape[-1]
+    g = scale4.shape[-2]
+    lo, hi = unpack_int4(pk)
+
+    def dq(w4, sc):
+        wg = w4.astype(jnp.float32).reshape(g // 2, half // (g // 2), d_out)
+        return (wg * sc[:, None, :]).reshape(half, d_out).astype(x.dtype)
+
+    x_lo, x_hi = x[..., :half], x[..., half:]
+    acc = (jnp.dot(x_lo, dq(lo, scale4[: g // 2]),
+                   preferred_element_type=x.dtype)
+           + jnp.dot(x_hi, dq(hi, scale4[g // 2:]),
+                     preferred_element_type=x.dtype))
+    return acc + p["b"]
+
+
 def linear(p, x):
+    if "w_qp" in p:  # nibble-packed int4 (regione_tpu.ops.quant)
+        return linear4(p, x)
     if "w_q" in p:  # weight-only int8 (regione_tpu.ops.quant)
         if act_int8_active():
             # W8A8: dynamic per-row activation quant -> int8 MXU matmul

@@ -193,7 +193,10 @@ def double_block(p, cfg: MMDiTConfig, img, txt, temb_act, rope_img, rope_txt,
 
 
 def _slice_out(p, a, b):
-    """Slice a (possibly int8-quantized) linear's OUTPUT channels [a:b]."""
+    """Slice a (possibly quantized) linear's OUTPUT channels [a:b]."""
+    if "w_qp" in p:
+        return {"w_qp": p["w_qp"][:, a:b], "scale4": p["scale4"][:, a:b],
+                "b": p["b"][a:b]}
     if "w_q" in p:
         return {"w_q": p["w_q"][:, a:b], "scale": p["scale"][:, a:b],
                 "b": p["b"][a:b]}

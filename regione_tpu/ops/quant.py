@@ -40,8 +40,88 @@ def dequantize_weight(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (p["w_q"].astype(jnp.float32) * p["scale"]).astype(dtype)
 
 
+# ---------------------------------------------------------------------------
+# int4 weights (nibble-packed)
+# ---------------------------------------------------------------------------
+# The FULL 20B Qwen backbone (60 double blocks) does not fit one 16 GB v5e
+# even at int8 (~20 GB weights); int4 halves it again (~10.8 GB with group
+# scales) and brings the whole model single-chip.  XLA's S4 dtype cannot
+# cross this host<->device tunnel (S4 transfer recurses into jit), so two
+# int4 values are packed per int8 byte instead:
+#
+#   packed[i, :] = (w4[i + in/2, :] << 4) | (w4[i, :] & 0xF)
+#
+# i.e. the LOW nibble holds reduction-row i and the HIGH nibble holds row
+# i + in/2 ("split halves", NOT adjacent pairs): the matmul then runs as
+#   dot(x[:, :in/2], unpack_lo) + dot(x[:, in/2:], unpack_hi)
+# — two dots whose operands are sign-extend shifts XLA fuses into the
+# operand load, with no interleave/stack copy of the unpacked weight.
+# Scales are symmetric per (reduction-group, out-channel), group size 128
+# (GPTQ/AWQ-style), values clipped to [-7, 7].  Format:
+#   {"w_qp": int8 [in/2, out], "scale4": f32 [G, out], "b": [out]}
+# (stacked linears carry a leading layer axis on every leaf).
+
+_INT4_GROUP = 128
+
+
+def _int4_group_size(half: int) -> int:
+    """Reduction-group size per PACKED half (groups must tile each half)."""
+    return _INT4_GROUP if half % _INT4_GROUP == 0 else half
+
+
+def pack_int4(w4_lo: jnp.ndarray, w4_hi: jnp.ndarray) -> jnp.ndarray:
+    """Two int8 arrays of int4-range values -> one packed int8 array."""
+    return jnp.left_shift(w4_hi, 4) | (w4_lo & jnp.int8(0x0F))
+
+
+def unpack_int4(packed: jnp.ndarray):
+    """packed int8 -> (lo, hi) int8 arrays of sign-extended int4 values."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    return lo, hi
+
+
+def quantize_linear4(p: dict) -> dict:
+    """{"w": [..., in, out], "b"} -> nibble-packed int4 with group scales.
+    Requires even `in` with each half tiled by the group size."""
+    w = jnp.asarray(p["w"], jnp.float32)
+    *lead, d_in, d_out = w.shape
+    assert d_in % 2 == 0, d_in
+    half = d_in // 2
+    gs = _int4_group_size(half)
+    g = d_in // gs
+    wg = w.reshape(*lead, g, gs, d_out)
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
+    scale = amax / 7.0 + 1e-12                        # [..., g, 1, out]
+    w4 = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8)
+    w4 = w4.reshape(*lead, d_in, d_out)
+    lo, hi = w4[..., :half, :], w4[..., half:, :]
+    return {"w_qp": pack_int4(lo, hi),
+            "scale4": scale.reshape(*lead, g, d_out).astype(jnp.float32),
+            "b": jnp.asarray(p["b"])}
+
+
+def dequantize_weight4(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Packed int4 linear -> full [..., in, out] weight (tests/oracles)."""
+    lo, hi = unpack_int4(p["w_qp"])
+    w4 = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
+    *lead, d_in, d_out = w4.shape
+    g = p["scale4"].shape[-2]
+    wg = w4.reshape(*lead, g, d_in // g, d_out)
+    w = wg * p["scale4"][..., :, None, :]
+    return w.reshape(*lead, d_in, d_out).astype(dtype)
+
+
+# int4 is reserved for the big, well-conditioned projections: modulation
+# projections stay int8 (they feed every AdaLN gate) and narrow-reduction
+# linears (img/txt embedders, in < _INT4_MIN_IN) gain little memory while
+# losing the averaging that keeps group-int4 error small.
+_INT4_MIN_IN = 512
+
+
 def quantize_params(params, skip_substrings=_SKIP_SUBSTRINGS,
-                    quantize_mods: bool = False):
+                    quantize_mods: bool = False, bits: int = 8,
+                    int4_mods: bool = False):
     """Walk a model pytree; replace every eligible linear {"w","b"} dict
     with its int8 form.  Stacked [L, in, out] weights quantize per (layer,
     out-channel).
@@ -50,7 +130,19 @@ def quantize_params(params, skip_substrings=_SKIP_SUBSTRINGS,
     (h -> 6h/3h) — the largest bf16 leaves left after default quantization
     (~2.1 GiB on the 12B Step1X) — while keeping the final output
     modulation full precision.  Needed to fit the big backbones on a
-    single 16 GB chip; PSNR impact is validated on hardware."""
+    single 16 GB chip; PSNR impact is validated on hardware.
+
+    bits=4 packs the big projections to nibble-packed int4 with group-128
+    scales (quantize_linear4); modulation projections and narrow-reduction
+    linears stay int8.  This is the only single-chip format for the FULL
+    60-block 20B Qwen backbone (~10.8 GB weights on a 16 GB v5e).
+
+    int4_mods=True (with bits=4 and quantize_mods) packs the per-block
+    modulation projections to int4 as well — on Qwen the img/txt mod
+    stacks are ~6.8B params (a third of the model), so int8 mods alone
+    exceed the 60-block single-chip budget.  final_mod always stays full
+    precision."""
+    assert bits in (4, 8), bits
     if quantize_mods:
         skip_substrings = tuple(
             s for s in skip_substrings if s != "mod")
@@ -62,6 +154,10 @@ def quantize_params(params, skip_substrings=_SKIP_SUBSTRINGS,
             if "w" in tree and "b" in tree and tree["w"].ndim in (2, 3):
                 if any(s in path for s in skip_substrings):
                     return tree
+                d_in = tree["w"].shape[-2]
+                if (bits == 4 and ("mod" not in path or int4_mods)
+                        and d_in >= _INT4_MIN_IN and d_in % 2 == 0):
+                    return quantize_linear4(tree)
                 axis = tree["w"].ndim - 2  # reduction (in) axis
                 return quantize_linear(tree, axis=axis)
             return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
@@ -79,6 +175,18 @@ def _gen_like(tree, k, path=""):
     init_quantized): per-out-channel scales from the U(-lim, lim) init
     distribution, uniform int8 weights, ones for norm scales."""
     if isinstance(tree, dict):
+        if "w_qp" in tree:
+            d_in = 2 * tree["w_qp"].shape[-2]
+            lim = 1.0 / (d_in ** 0.5)
+            klo, khi = jax.random.split(k)
+            lo = jax.random.randint(klo, tree["w_qp"].shape, -7, 8, jnp.int8)
+            hi = jax.random.randint(khi, tree["w_qp"].shape, -7, 8, jnp.int8)
+            return {
+                "w_qp": pack_int4(lo, hi),
+                "scale4": jnp.full(tree["scale4"].shape, lim / 7.0,
+                                   jnp.float32),
+                "b": jnp.zeros(tree["b"].shape, tree["b"].dtype),
+            }
         if "w_q" in tree:
             d_in = tree["w_q"].shape[-2]
             lim = 1.0 / (d_in ** 0.5)
@@ -106,7 +214,8 @@ def _gen_like(tree, k, path=""):
     return jnp.zeros(tree.shape, tree.dtype)
 
 
-def init_quantized(key, cfg, quantize_mods: bool = True):
+def init_quantized(key, cfg, quantize_mods: bool = True, bits: int = 8,
+                   int4_mods: bool = False):
     """Random-init the int8-quantized MMDiT parameter tree DIRECTLY, never
     materializing the bf16 weights (the 12B Step1X bf16 init is ~24 GiB —
     larger than a v5e's whole HBM, so init-then-quantize cannot run
@@ -133,10 +242,13 @@ def init_quantized(key, cfg, quantize_mods: bool = True):
 
     shapes = jax.eval_shape(
         lambda k: quantize_params(init_mmdit(k, cfg),
-                                  quantize_mods=quantize_mods), key)
+                                  quantize_mods=quantize_mods, bits=bits,
+                                  int4_mods=int4_mods),
+        key)
 
     def gen(tree, k, path=""):
-        if isinstance(tree, dict) and "w_q" not in tree and not (
+        if isinstance(tree, dict) and "w_q" not in tree \
+                and "w_qp" not in tree and not (
                 "w" in tree and "b" in tree):
             return {name: gen(sub, jax.random.fold_in(k, i),
                               f"{path}/{name}")

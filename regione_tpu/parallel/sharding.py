@@ -44,18 +44,28 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
 # layout as w; scale is per-output-channel [.., 1, o], so it shards with
 # the OUTPUT axis for column-parallel layers and stays replicated for
 # row-parallel ones (their outputs are full-width partial sums).
+#
+# `w_qp`/`scale4` are the nibble-packed int4 forms (ops.quant): w_qp is
+# [.., in/2, out] and scale4 [.., G, out].  Column-parallel layers shard
+# both on the OUT axis (same as w_q/scale).  Row-parallel layers shard
+# only w_qp on the packed-row axis; scale4 stays replicated — its group
+# axis interleaves lo/hi halves of the SAME packed rows, so it does not
+# distribute like the packed-row axis, and at w/128 bytes it is too small
+# to matter (GSPMD slices it locally).  int4 exists for single-chip FIT;
+# TP rows run int8.
 _RULES: list[tuple[str, P]] = [
     # column-parallel (shard output features)
-    (r"(img_attn|txt_attn)/(q|k|v)/(w|w_q|scale)$", P(None, None, "tp")),
-    (r"(img_mlp|txt_mlp)/in/(w|w_q|scale)$", P(None, None, "tp")),
-    (r"linear1/(w|w_q|scale)$", P(None, None, "tp")),
+    (r"(img_attn|txt_attn)/(q|k|v)/(w|w_q|scale|w_qp|scale4)$",
+     P(None, None, "tp")),
+    (r"(img_mlp|txt_mlp)/in/(w|w_q|scale|w_qp|scale4)$", P(None, None, "tp")),
+    (r"linear1/(w|w_q|scale|w_qp|scale4)$", P(None, None, "tp")),
     (r"(img_attn|txt_attn)/(q|k|v)/b$", P(None, "tp")),
     (r"(img_mlp|txt_mlp)/in/b$", P(None, "tp")),
     (r"linear1/b$", P(None, "tp")),
     # row-parallel (shard input features; XLA psums the partial outputs)
-    (r"(img_attn|txt_attn)/out/(w|w_q)$", P(None, "tp", None)),
-    (r"(img_mlp|txt_mlp)/out/(w|w_q)$", P(None, "tp", None)),
-    (r"linear2/(w|w_q)$", P(None, "tp", None)),
+    (r"(img_attn|txt_attn)/out/(w|w_q|w_qp)$", P(None, "tp", None)),
+    (r"(img_mlp|txt_mlp)/out/(w|w_q|w_qp)$", P(None, "tp", None)),
+    (r"linear2/(w|w_q|w_qp)$", P(None, "tp", None)),
     # connector (Step1X): its blocks use the same col/row split
     (r"connector/.*/(q|k|v)/(w|w_q|scale)$", P(None, None, "tp")),
     (r"connector/.*/mlp/in/(w|w_q|scale)$", P(None, None, "tp")),

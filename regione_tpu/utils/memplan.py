@@ -30,6 +30,7 @@ class MemPlan:
     preset: str
     tp: int
     int8: bool
+    bits: int
     grid: int
     t_txt: int
     batch_cfg: int
@@ -60,7 +61,8 @@ def _leaf_bytes(leaf) -> int:
 
 def plan(preset: str, grid: int = 64, t_txt: int = 512, tp: int = 1,
          int8: bool = False, batch_cfg: int | None = None,
-         cache_dtype=None, quantize_mods: bool = False) -> MemPlan:
+         cache_dtype=None, quantize_mods: bool = False,
+         bits: int = 8, int4_mods: bool = False) -> MemPlan:
     """Exact param/cache byte budget per device for `preset` at a given
     token geometry, int8 and TP setting.  Activations are an estimate
     (dominant live set of one dense forward at bf16)."""
@@ -82,7 +84,8 @@ def plan(preset: str, grid: int = 64, t_txt: int = 512, tp: int = 1,
 
     def build(key):
         p = init_mmdit(key, cfg)
-        return (quantize_params(p, quantize_mods=quantize_mods)
+        return (quantize_params(p, quantize_mods=quantize_mods, bits=bits,
+                                int4_mods=int4_mods)
                 if int8 else p)
 
     shapes = jax.eval_shape(build, jax.random.PRNGKey(0))
@@ -96,7 +99,10 @@ def plan(preset: str, grid: int = 64, t_txt: int = 512, tp: int = 1,
     sflat = jax.tree_util.tree_leaves(specs)
     for (path, leaf), spec in zip(flat, sflat):
         nbytes = _leaf_bytes(leaf)
-        params_total += int(np.prod(leaf.shape))
+        n = int(np.prod(leaf.shape))
+        if str(getattr(path[-1], "key", path[-1])) == "w_qp":
+            n *= 2  # nibble-packed: two weights per stored byte
+        params_total += n
         div = tp if any(ax == "tp" for ax in spec) else 1
         param_dev += nbytes // div
         if div > 1:
@@ -105,8 +111,10 @@ def plan(preset: str, grid: int = 64, t_txt: int = 512, tp: int = 1,
             p = "/".join(str(getattr(k, "key", k)) for k in path)
             big_replicated.append((p, round(nbytes / 1024**2, 1)))
 
+    cache_cfg = (dataclasses.replace(cfg, cache_int8=True)
+                 if cache_dtype == jnp.int8 else cfg)
     cache_shapes = jax.eval_shape(
-        lambda: init_cache(cfg, batch_cfg, s_kv, t_txt,
+        lambda: init_cache(cache_cfg, batch_cfg, s_kv, t_txt,
                            dtype=cache_dtype or cfg.dtype))
     # caches shard the flattened head axis on tp (sharding.cache_specs)
     cache_dev = sum(_leaf_bytes(l) for l in jax.tree.leaves(cache_shapes))
@@ -120,7 +128,8 @@ def plan(preset: str, grid: int = 64, t_txt: int = 512, tp: int = 1,
 
     total = param_dev + cache_dev + act
     return MemPlan(
-        preset=preset, tp=tp, int8=int8, grid=grid, t_txt=t_txt,
+        preset=preset, tp=tp, int8=int8, bits=bits if int8 else 16,
+        grid=grid, t_txt=t_txt,
         batch_cfg=batch_cfg,
         param_bytes_per_device=int(param_dev),
         cache_bytes_per_device=int(cache_dev),
@@ -141,13 +150,24 @@ def main(argv=None):
     ap.add_argument("--t-txt", type=int, default=512)
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--bits", type=int, default=8, choices=(4, 8),
+                    help="weight quant width when --int8 is set (4 = "
+                    "nibble-packed int4 for the big projections)")
+    ap.add_argument("--int4-mods", action="store_true",
+                    help="with --bits 4: pack modulation projections to "
+                    "int4 too (needed for the 60-block Qwen single-chip)")
+    ap.add_argument("--cache-int8", action="store_true",
+                    help="budget the KV cache at int8 (+ f32 scales)")
     ap.add_argument("--quantize-mods", action="store_true")
     ap.add_argument("--batch-cfg", type=int, default=None)
     ap.add_argument("--hbm", default="v5e")
     args = ap.parse_args(argv)
+    import jax.numpy as jnp
     p = plan(args.preset, grid=args.grid, t_txt=args.t_txt, tp=args.tp,
              int8=args.int8, batch_cfg=args.batch_cfg,
-             quantize_mods=args.quantize_mods)
+             quantize_mods=args.quantize_mods, bits=args.bits,
+             int4_mods=args.int4_mods,
+             cache_dtype=jnp.int8 if args.cache_int8 else None)
     out = p.as_dict()
     out["fits_" + args.hbm] = p.fits(args.hbm)
     print(json.dumps(out, indent=2))
