@@ -606,7 +606,16 @@ def init_mmdit(key: jax.Array, cfg: MMDiTConfig):
 
 
 def param_count(params) -> int:
-    return sum(int(p.size) for p in jax.tree.leaves(params))
+    """Model parameter count; nibble-packed int4 leaves ("w_qp",
+    ops.quant) hold two weights per stored byte."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    total = 0
+    for path, leaf in flat:
+        n = int(leaf.size)
+        if str(getattr(path[-1], "key", path[-1])) == "w_qp":
+            n *= 2
+        total += n
+    return total
 
 
 # One fused device program for the whole init — eager per-layer init issues

@@ -82,6 +82,11 @@ def main():
     ap.add_argument("--act-int8", action="store_true",
                     help="W8A8: dynamic per-row activation quant onto the "
                          "int8 MXU (~1.4x the bf16 matmul rate on v5e)")
+    ap.add_argument("--int4", action="store_true",
+                    help="nibble-packed int4 weights incl. modulations "
+                         "(ops.quant bits=4, int4_mods).  Single-chip "
+                         "format for the FULL 60-block 20B Qwen and for "
+                         "Step1X at its native 1024px; bf16 MXU compute")
     ap.add_argument("--adaptive", action="store_true",
                     help="run the REAL adaptive partition end-to-end at "
                          "full size (x0 probe + on-device cosine/morphology "
@@ -100,7 +105,20 @@ def main():
         "flux-kontext": (64, 512, None, "FULLSIZE_FLUX.json"),
         "qwen-image-edit": (48, 512, 36, "FULLSIZE_QWEN.json"),
     }
+    if args.int4 and args.act_int8:
+        ap.error("--int4 and --act-int8 are mutually exclusive (int4 runs "
+                 "the bf16 dot; W8A8 needs int8 weights)")
     dg, dt, db, dout = defaults[args.preset]
+    if args.int4:
+        # int4 unlocks the configs int8 cannot hold: the FULL 60-block
+        # Qwen (memplan 13.7 GiB @704px) and Step1X at the reference's
+        # native 1024px (12.4 GiB)
+        if args.preset == "qwen-image-edit":
+            dg, db, dout = 44, 60, "FULLSIZE_QWEN60.json"
+        elif args.preset == "step1x-edit":
+            dg, dout = 64, "FULLSIZE_1024.json"
+        else:
+            dout = dout.replace(".json", "_INT4.json")
     args.grid = args.grid if args.grid is not None else dg
     args.t_txt = args.t_txt if args.t_txt is not None else dt
     args.blocks = args.blocks if args.blocks is not None else db
@@ -141,17 +159,21 @@ def main():
         cfg = dataclasses.replace(cfg, depth_double=args.blocks)
     batch_cfg = 1 if is_flux else 2  # flux: guidance-embedded single fwd
 
+    bits = 4 if args.int4 else 8
     mp = plan(cfg, grid=GRID, t_txt=T_TXT, tp=1, int8=True,
-              batch_cfg=batch_cfg, quantize_mods=True, cache_dtype=jnp.int8)
+              batch_cfg=batch_cfg, quantize_mods=True, cache_dtype=jnp.int8,
+              bits=bits, int4_mods=args.int4)
     log(f"memplan: params {mp.param_bytes_per_device/2**30:.2f} GiB, "
         f"cache {mp.cache_bytes_per_device/2**30:.2f} GiB, "
         f"total {mp.total_bytes_per_device/2**30:.2f} GiB, "
         f"fits v5e: {mp.fits('v5e')}")
 
-    log(f"initializing {preset} int8 weights on device...")
+    log(f"initializing {preset} int{bits} weights on device...")
     t0 = time.perf_counter()
-    params = init_quantized(jax.random.PRNGKey(0), cfg, quantize_mods=True)
-    sync(params["double"]["img_mod"]["scale"])
+    params = init_quantized(jax.random.PRNGKey(0), cfg, quantize_mods=True,
+                            bits=bits, int4_mods=args.int4)
+    mod_probe = params["double"]["img_mod"]
+    sync(mod_probe["scale4" if "scale4" in mod_probe else "scale"])
     log(f"init {time.perf_counter()-t0:.1f}s; "
         f"{param_count(params)/1e9:.2f}B leaves resident")
 
@@ -311,9 +333,11 @@ def main():
              "qwen-image-edit":
                  f"production-width Qwen ({cfg.depth_double}/60 blocks, "
                  f"{param_count(params)/1e9:.1f}B)"}[preset]
+    if args.int4 and preset == "qwen-image-edit" and cfg.depth_double == 60:
+        label = f"FULL 20B Qwen (60/60 blocks, {param_count(params)/1e9:.1f}B)"
     row = {
         "metric": f"{label} single-chip edit speedup "
-                  f"(int8 weights + int8 KV cache"
+                  f"(int{bits} weights + int8 KV cache"
                   f"{' + W8A8 activations' if args.act_int8 else ''})",
         "value": round(speedup, 4),
         "unit": "x",
@@ -333,6 +357,7 @@ def main():
         "seq_len": stats.seq_len,
         "reuse_steps": stats.reuse_steps,
         "params": param_count(params),
+        "weight_bits": bits,
         "grid": GRID,
         "resolution_px": GRID * 16,
         "memplan_total_gib": round(mp.total_bytes_per_device / 2**30, 3),

@@ -10,6 +10,9 @@ so the quantization claims rest on production-shape numerics:
     fp32 master  ->  bf16          (the production baseline format)
                  ->  int8 weights  (FULLSIZE rows)
                  ->  W8A8          (FULLSIZE_*_W8A8 rows)
+                 ->  int4 weights  (FULLSIZE_QWEN60 / FULLSIZE_1024 rows;
+                                    nibble-packed, group-128 scales,
+                                    int4 modulations)
 
 Error metric: SNR in dB, 10*log10(sum(ref^2)/sum(err^2)) — the same
 signal-to-error figure quoted for the dev-scale cross-mode drift
@@ -101,6 +104,7 @@ def main():
         master)
     cfg_bf = dataclasses.replace(cfg32, dtype=jnp.bfloat16)
     int8 = quantize_params(bf16, quantize_mods=True)
+    int4 = quantize_params(bf16, quantize_mods=True, bits=4, int4_mods=True)
     cfg_w8a8 = dataclasses.replace(cfg_bf, act_int8=True)
 
     jfwd = jax.jit(fwd, static_argnums=(1,))
@@ -111,6 +115,7 @@ def main():
     v_bf16 = jfwd(bf16, cfg_bf, img)
     v_int8 = jfwd(int8, cfg_bf, img)
     v_w8a8 = jfwd(int8, cfg_w8a8, img)
+    v_int4 = jfwd(int4, cfg_bf, img)
 
     out = {
         "width": cfg32.hidden, "heads": cfg32.heads,
@@ -120,9 +125,11 @@ def main():
             "bf16": round(snr_db(v_ref, v_bf16), 1),
             "int8_weight_only": round(snr_db(v_ref, v_int8), 1),
             "w8a8": round(snr_db(v_ref, v_w8a8), 1),
+            "int4_weight_only": round(snr_db(v_ref, v_int4), 1),
         },
         "forward_snr_db_int8_vs_bf16": round(snr_db(v_bf16, v_int8), 1),
         "forward_snr_db_w8a8_vs_int8": round(snr_db(v_int8, v_w8a8), 1),
+        "forward_snr_db_int4_vs_bf16": round(snr_db(v_bf16, v_int4), 1),
     }
 
     if args.steps:
@@ -150,16 +157,20 @@ def main():
         l_bf16 = run_traj(bf16, cfg_bf)
         l_int8 = run_traj(int8, cfg_bf)
         l_w8a8 = run_traj(int8, cfg_w8a8)
+        l_int4 = run_traj(int4, cfg_bf)
         out["trajectory_steps"] = args.steps
         out["trajectory_snr_db_vs_fp32"] = {
             "bf16": round(snr_db(l_ref, l_bf16), 1),
             "int8_weight_only": round(snr_db(l_ref, l_int8), 1),
             "w8a8": round(snr_db(l_ref, l_w8a8), 1),
+            "int4_weight_only": round(snr_db(l_ref, l_int4), 1),
         }
         out["trajectory_snr_db_int8_vs_bf16"] = round(
             snr_db(l_bf16, l_int8), 1)
         out["trajectory_snr_db_w8a8_vs_int8"] = round(
             snr_db(l_int8, l_w8a8), 1)
+        out["trajectory_snr_db_int4_vs_bf16"] = round(
+            snr_db(l_bf16, l_int4), 1)
 
     print(json.dumps(out))
     if args.out:

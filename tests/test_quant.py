@@ -167,9 +167,8 @@ def test_pack_unpack_int4_roundtrip_exact():
     from regione_tpu.ops.quant import pack_int4, unpack_int4
     vals = np.arange(-8, 8, dtype=np.int8)
     lo, hi = np.meshgrid(vals, vals)
-    lo = jnp.asarray(lo.ravel()), 
-    lo, hi = jnp.asarray(np.meshgrid(vals, vals)[0].ravel(), jnp.int8), \
-        jnp.asarray(np.meshgrid(vals, vals)[1].ravel(), jnp.int8)
+    lo = jnp.asarray(lo.ravel(), jnp.int8)
+    hi = jnp.asarray(hi.ravel(), jnp.int8)
     glo, ghi = unpack_int4(pack_int4(lo, hi))
     np.testing.assert_array_equal(np.asarray(glo), np.asarray(lo))
     np.testing.assert_array_equal(np.asarray(ghi), np.asarray(hi))
