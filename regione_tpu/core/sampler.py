@@ -87,8 +87,17 @@ class RegionESampler:
         rags_forward: Callable,
         init_cache: Callable[[], Any],
         progress_cb: Callable[[int], None] | None = None,
+        dense_chunk: int | None = None,
     ):
         self.plan = plan
+        # Max dense steps per device program (None = whole plan in one).
+        # The remote-attached TPU runtime kills any single execution that
+        # runs ≳60 s (worker "crashed or restarted"; bisected at Step1X
+        # @1024px int4: 21-step dense scan = 53 s OK, 28-step ≈ 71 s dies),
+        # so long dense baselines must be split into bounded-duration
+        # chunks — numerically identical, same scan body, latents carried
+        # between programs.
+        self.dense_chunk = dense_chunk
         self.re = params_re
         self.grid_h = grid_h
         self.grid_w = grid_w
@@ -263,8 +272,23 @@ class RegionESampler:
     def sample_dense(self, latents0: jnp.ndarray, ctx) -> jnp.ndarray:
         """Vanilla 28-step dense Euler baseline through the same model hook
         (the reference's pinned-resolution `pipeline_call` baseline,
-        src/Step1X-Edit/utils.py:106)."""
+        src/Step1X-Edit/utils.py:106).  With `dense_chunk` set the scan is
+        split into several bounded-duration programs (see __init__)."""
+        n = len(self.plan)
+        ck = self.dense_chunk
+        if ck and n > ck:
+            lat = latents0
+            for a in range(0, n, ck):
+                lat = self._dense_chunk_jit(a, min(a + ck, n))(lat, ctx)
+            return lat
         return self._dense_jit(latents0, ctx)
+
+    def _dense_chunk_jit(self, a: int, b: int):
+        jits = self.__dict__.setdefault("_dense_chunk_jits", {})
+        if (a, b) not in jits:
+            jits[(a, b)] = jax.jit(lambda lat, ctx: self._dense_scan(
+                lat.astype(jnp.float32), self.plan[a:b], ctx))
+        return jits[(a, b)]
 
     @functools.cached_property
     def _dense_jit(self):

@@ -228,6 +228,7 @@ class EditPipelineBase:
             rags_forward=self.rags_forward,
             init_cache=make_cache,
             progress_cb=getattr(self, "progress_cb", None),
+            dense_chunk=getattr(self, "dense_chunk", None),
         )
         self._samplers[key] = sampler
         return sampler

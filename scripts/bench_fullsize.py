@@ -95,6 +95,13 @@ def main():
                          "a structured condition latent the way bench.py "
                          "does and reports the forced row as an ablation "
                          "(VERDICT r2 weak #1)")
+    ap.add_argument("--dense-chunk", type=int, default=None,
+                    help="max dense steps per device program.  The remote "
+                         "TPU runtime kills single executions over ~60 s; "
+                         "the Step1X@1024px 28-step dense scan runs ~71 s "
+                         "(21 steps = 53 s is fine), so big-grid rows "
+                         "split the baseline into bounded chunks "
+                         "(numerically identical)")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -117,6 +124,8 @@ def main():
             dg, db, dout = 44, 60, "FULLSIZE_QWEN60.json"
         elif args.preset == "step1x-edit":
             dg, dout = 64, "FULLSIZE_1024.json"
+            if args.dense_chunk is None:
+                args.dense_chunk = 14  # 28-step scan ~71 s > watchdog
         else:
             dout = dout.replace(".json", "_INT4.json")
     args.grid = args.grid if args.grid is not None else dg
@@ -184,6 +193,9 @@ def main():
         pipe = QwenImageEditPipeline(cfg, params, re)
     else:
         pipe = Step1XEditPipeline(cfg, params, re)
+    if args.dense_chunk:
+        pipe.dense_chunk = args.dense_chunk
+        log(f"dense baseline chunked at {args.dense_chunk} steps/program")
 
     rng = np.random.default_rng(110)
     s = GRID * GRID

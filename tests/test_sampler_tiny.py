@@ -191,3 +191,17 @@ def test_caller_latents_survive_sampling():
     # the input buffer must NOT have been donated away
     assert np.isfinite(np.asarray(lat0)).all()
     assert out.shape == lat0.shape
+
+
+def test_dense_chunked_matches_single_program():
+    """dense_chunk splits the baseline scan into bounded-duration programs
+    (the remote TPU runtime kills single executions over ~60 s); the
+    chunked result must be bit-identical to the one-program scan."""
+    cfg, params, re_params, pipe = make_pipe()
+    ctx, lat0, *_ = make_inputs(cfg, pipe)
+    one, _ = pipe.edit_latents(lat0, ctx, GRID, GRID, dense_only=True)
+
+    cfg2, params2, re2, pipe2 = make_pipe()
+    pipe2.dense_chunk = 5  # 28 steps -> 6 programs (last short)
+    chunked, _ = pipe2.edit_latents(lat0, ctx, GRID, GRID, dense_only=True)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(chunked))
