@@ -60,6 +60,22 @@ from regione_tpu.core.schedule import (
 )
 
 
+def compiler_options_from_env() -> dict | None:
+    """Optional XLA compiler-option overrides for the sampler's jitted
+    programs, as a JSON dict in $REGIONE_COMPILER_OPTIONS.
+
+    On remote-attached TPUs, client-side XLA_FLAGS never reach the
+    server-side compiler (the local process rejects unknown xla_tpu_*
+    flags outright); PJRT `compiler_options` travel inside the
+    CompileOptions proto and are validated by the real compiler.  Used
+    for perf experiments (e.g. HLO-remat memory-budget tuning) — unset
+    in production."""
+    import json
+    import os
+    raw = os.environ.get("REGIONE_COMPILER_OPTIONS")
+    return json.loads(raw) if raw else None
+
+
 @dataclasses.dataclass
 class SampleStats:
     """Per-image observability (reference has none; SURVEY.md §5)."""
@@ -120,16 +136,20 @@ class RegionESampler:
         #   _sms : trailing dense smooth scan          (no cache)
         # _warm takes the CALLER's latents — not donated; every later
         # segment consumes sampler-owned buffers and donates them.
-        self._warm_jit = jax.jit(self._warm)
+        copts = compiler_options_from_env()
+        self._warm_jit = jax.jit(self._warm, compiler_options=copts)
         # progress ticks use async host callbacks: the compiled loop has no
         # natural host boundary (unlike the reference's per-step tqdm,
         # inplace.py:337), so an opt-in jax.debug.callback fires per step.
-        self._part_jit = jax.jit(self._part, donate_argnums=(0,))
+        self._part_jit = jax.jit(self._part, donate_argnums=(0,),
+                                 compiler_options=copts)
         # one jit; retraces automatically per capacity (ids shape).
         # latents + KV cache (args 0, 3) are donated: the cache pytree is
         # O(GB) for the big backbones and is dead after the call.
-        self._rest_jit = jax.jit(self._rest, donate_argnums=(0, 3))
-        self._sms_jit = jax.jit(self._sms, donate_argnums=(0,))
+        self._rest_jit = jax.jit(self._rest, donate_argnums=(0, 3),
+                                 compiler_options=copts)
+        self._sms_jit = jax.jit(self._sms, donate_argnums=(0,),
+                                compiler_options=copts)
 
     def _tick(self, idx):
         """Async per-step progress tick (opt-in)."""
@@ -286,8 +306,10 @@ class RegionESampler:
     def _dense_chunk_jit(self, a: int, b: int):
         jits = self.__dict__.setdefault("_dense_chunk_jits", {})
         if (a, b) not in jits:
-            jits[(a, b)] = jax.jit(lambda lat, ctx: self._dense_scan(
-                lat.astype(jnp.float32), self.plan[a:b], ctx))
+            jits[(a, b)] = jax.jit(
+                lambda lat, ctx: self._dense_scan(
+                    lat.astype(jnp.float32), self.plan[a:b], ctx),
+                compiler_options=compiler_options_from_env())
         return jits[(a, b)]
 
     @functools.cached_property
@@ -295,7 +317,7 @@ class RegionESampler:
         def run(lat, ctx):
             return self._dense_scan(lat.astype(jnp.float32), self.plan, ctx)
 
-        return jax.jit(run)
+        return jax.jit(run, compiler_options=compiler_options_from_env())
 
     # ------------------------------------------------------------------
     # segment 1: STS + partition

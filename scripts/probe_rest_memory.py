@@ -38,6 +38,12 @@ def main():
                     help="compile with Format(Layout.AUTO) entry layouts "
                          "(XLA picks param layouts; probes whether the "
                          "684 MB stacked-int8-weight relayout temps vanish)")
+    ap.add_argument("--count-remat", action="store_true",
+                    help="also count .remat_compressed / .remat_uncompressed "
+                         "fusion names in the compiled HLO (slow: renders "
+                         "the full program text once).  Combine with "
+                         "$REGIONE_COMPILER_OPTIONS to A/B remat flags "
+                         "compile-only before paying for a full-size run")
     ap.add_argument("--auto-layout-paths", default=None,
                     help="regex over param paths: ONLY matching leaves get "
                          "Format(Layout.AUTO) entry layouts, everything "
@@ -143,9 +149,21 @@ def main():
             for want in pinned:
                 if ps.endswith(want) or want in ps:
                     chosen[want] = str(getattr(f, "layout", f))
+    remat = {}
+    if args.count_remat:
+        txt = compiled.as_text()
+        remat = {
+            "remat_compressed": txt.count(".remat_compressed"),
+            "remat_uncompressed": txt.count(".remat_uncompressed"),
+            "remat_plain": txt.count(".remat"),
+        }
+        del txt
     print(json.dumps({
         "dd": args.dd, "ds": args.ds, "cache_int8": args.cache_int8,
         "donate": not args.no_donate,
+        **remat,
+        **({"compiler_options": os.environ["REGIONE_COMPILER_OPTIONS"]}
+           if os.environ.get("REGIONE_COMPILER_OPTIONS") else {}),
         **({"pinned_auto_layout": pinned,
             "chosen_layouts": chosen} if pinned else {}),
         "compile_s": round(time.perf_counter() - t0, 1),
