@@ -205,3 +205,36 @@ def test_dense_chunked_matches_single_program():
     pipe2.dense_chunk = 5  # 28 steps -> 6 programs (last short)
     chunked, _ = pipe2.edit_latents(lat0, ctx, GRID, GRID, dense_only=True)
     np.testing.assert_array_equal(np.asarray(one), np.asarray(chunked))
+
+
+def test_compiler_options_from_env(monkeypatch):
+    """$REGIONE_COMPILER_OPTIONS (JSON dict) -> per-jit compiler options;
+    unset -> None (production default).  The option dict must reach the
+    backend compiler: an invalid value for a known generic XLA option
+    fails the compile rather than being silently dropped."""
+    from regione_tpu.core.sampler import compiler_options_from_env
+
+    monkeypatch.delenv("REGIONE_COMPILER_OPTIONS", raising=False)
+    assert compiler_options_from_env() is None
+
+    monkeypatch.setenv("REGIONE_COMPILER_OPTIONS",
+                       '{"xla_embed_ir_in_executable": false}')
+    assert compiler_options_from_env() == {"xla_embed_ir_in_executable": False}
+
+    # delivery: a bad value for a real option must error at compile time
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    bad = jax.jit(lambda x: x + 1,
+                  compiler_options={"xla_embed_ir_in_executable": "maybe"})
+    with pytest.raises(Exception, match="maybe|bool|INVALID"):
+        bad(jnp.ones((2,)))
+
+    # end-to-end: sampler built under the env produces identical results
+    cfg, params, re_params, pipe = make_pipe()
+    ctx, lat0, *_ = make_inputs(cfg, pipe)
+    base, _ = pipe.edit_latents(lat0, ctx, GRID, GRID)
+
+    cfg2, params2, re2, pipe2 = make_pipe()
+    out2, _ = pipe2.edit_latents(lat0, ctx, GRID, GRID)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out2))
