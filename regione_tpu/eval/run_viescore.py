@@ -23,7 +23,7 @@ def main(argv=None):
                     help="results root holding <task>/generation; defaults "
                          "to --data_dir")
     ap.add_argument("--backbone", default="gpt4o",
-                    choices=["gpt4o", "qwen25vl", "dryrun"])
+                    choices=["gpt4o", "gemini", "qwen25vl", "dryrun"])
     ap.add_argument("--model_name", default="gpt-4.1")
     ap.add_argument("--key_path", default=None)
     ap.add_argument("--vlm_path", default=None,
@@ -34,6 +34,11 @@ def main(argv=None):
     if args.backbone == "gpt4o":
         assert args.key_path, "--key_path required for the gpt4o backbone"
         backbone = OpenAIBackbone(args.key_path, args.model_name)
+    elif args.backbone == "gemini":
+        from regione_tpu.eval.viescore import GeminiBackbone
+        backbone = GeminiBackbone(model_name=args.model_name
+                                  if args.model_name.startswith("gemini")
+                                  else "gemini-1.5-pro")
     elif args.backbone == "qwen25vl":
         from regione_tpu.eval.viescore import LocalVLMBackbone
         assert args.vlm_path, "--vlm_path required for the qwen25vl backbone"

@@ -183,6 +183,37 @@ class OpenAIBackbone:
             raise
 
 
+class GeminiBackbone:
+    """Gemini judge via the Google AI SDK (reference
+    mllm_tools/gemini.py: configures genai from an API key, uploads PIL
+    images, prompts with [media..., text]).  The SDK is an optional dep —
+    imported lazily so environments without it can still use the other
+    backbones."""
+
+    def __init__(self, api_key: str | None = None,
+                 model_name: str = "gemini-1.5-pro"):
+        import os
+        self.api_key = api_key or os.environ.get("GEMINI_API_KEY")
+        assert self.api_key, "GeminiBackbone needs an API key " \
+            "(arg or $GEMINI_API_KEY)"
+        self.model_name = model_name
+        self._model = None
+
+    def _get_model(self):
+        if self._model is None:
+            import google.generativeai as genai  # optional dep
+            genai.configure(api_key=self.api_key)
+            self._model = genai.GenerativeModel(self.model_name)
+        return self._model
+
+    def get_parsed_output(self, prompt: str, images: list) -> str:
+        from PIL import Image
+        pil = [Image.fromarray(np.asarray(im)) for im in images]
+        # the SDK accepts PIL images inline in the content list
+        resp = self._get_model().generate_content(pil + [prompt])
+        return resp.text or ""
+
+
 class LocalVLMBackbone:
     """Local vision-language judge via transformers (torch CPU/GPU) — the
     reference's Qwen2.5-VL scoring path (mllm_tools/qwen25vl_eval.py).
@@ -259,7 +290,9 @@ def process_with_retry(fn, *args, max_tries: int = 10000,
     for attempt in range(max_tries):
         try:
             return fn(*args, **kw)
-        except no_retry:
+        except (ImportError, KeyboardInterrupt) + tuple(no_retry):
+            # a missing optional SDK is not transient — retrying it 10000
+            # times just hangs the sweep
             raise
         except Exception:
             if attempt == max_tries - 1:

@@ -127,6 +127,20 @@ def test_viescore_parse_sloppy_corpus():
     assert p('{"score": [7, 8]}', n_expected=2) == [7.0, 8.0]
 
 
+def test_gemini_backbone_construction(monkeypatch):
+    """GeminiBackbone resolves the key from arg or $GEMINI_API_KEY and
+    defers the SDK import until first use (so environments without
+    google-generativeai can still construct/select other backbones)."""
+    monkeypatch.delenv("GEMINI_API_KEY", raising=False)
+    with pytest.raises(AssertionError):
+        viescore.GeminiBackbone()
+    b = viescore.GeminiBackbone(api_key="k1", model_name="gemini-1.5-flash")
+    assert b.api_key == "k1" and b.model_name == "gemini-1.5-flash"
+    assert b._model is None  # SDK not imported at construction
+    monkeypatch.setenv("GEMINI_API_KEY", "k2")
+    assert viescore.GeminiBackbone().api_key == "k2"
+
+
 def test_viescore_give_up_parsing():
     """An unparseable judge reply raises (so the runner re-queries); with
     give_up_parsing it degrades to a flagged neutral guess."""
