@@ -95,9 +95,15 @@ def build_pipeline(args):
         if quantize_mods is None:
             quantize_mods = bool(getattr(args, "act_int8", False)
                                  or getattr(args, "int4", False))
+        int4_mods = getattr(args, "int4_mods", None)
+        if int4_mods is None:
+            # the published single-chip 60-block format packs mods to int4
+            # (bench_fullsize int4 rows); --int4_mods false keeps them int8
+            int4_mods = bool(getattr(args, "int4", False))
         params = quantize_params(
             params, quantize_mods=quantize_mods,
-            bits=4 if getattr(args, "int4", False) else 8)
+            bits=4 if getattr(args, "int4", False) else 8,
+            int4_mods=int4_mods and bool(getattr(args, "int4", False)))
     if getattr(args, "act_int8", False):
         import dataclasses
         cfg = dataclasses.replace(cfg, act_int8=True)
@@ -243,9 +249,17 @@ def main(argv=None):
                          "(halves weight HBM; regione_tpu.ops.quant)")
     ap.add_argument("--int4", action="store_true",
                     help="nibble-packed int4 weights for the big DiT "
-                         "projections (modulations stay int8; implies "
-                         "--quantize_mods).  The single-chip format for "
+                         "projections (implies --quantize_mods and "
+                         "--int4_mods).  The single-chip format for "
                          "the FULL 60-block 20B Qwen backbone")
+    ap.add_argument("--int4_mods", default=None,
+                    type=lambda s: s.lower() in ("1", "true", "yes"),
+                    help="with --int4, pack the per-block modulation "
+                         "projections to int4 too (default true — Qwen's "
+                         "mod stacks are ~6.8B params and int8 mods alone "
+                         "break the 60-block single-chip budget; set false "
+                         "to keep mods int8 for fidelity on backbones that "
+                         "fit)")
     ap.add_argument("--act_int8", action="store_true",
                     help="W8A8: with --int8, dynamically quantize "
                          "activations per row onto the int8 MXU (~20%% "

@@ -36,7 +36,10 @@ def main(argv=None):
         backbone = OpenAIBackbone(args.key_path, args.model_name)
     elif args.backbone == "gemini":
         from regione_tpu.eval.viescore import GeminiBackbone
-        backbone = GeminiBackbone(model_name=args.model_name
+        key = (open(args.key_path).read().split()[0]
+               if args.key_path else None)  # else $GEMINI_API_KEY
+        backbone = GeminiBackbone(api_key=key,
+                                  model_name=args.model_name
                                   if args.model_name.startswith("gemini")
                                   else "gemini-1.5-pro")
     elif args.backbone == "qwen25vl":

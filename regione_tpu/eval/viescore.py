@@ -42,8 +42,8 @@ _PQ_PROMPT = (
     "On a scale of 0 to 10, rate (1) how natural the image looks and (2) "
     "how free it is of artifacts (distortions, duplicated or broken "
     "structures, blur, watermarks).\n"
-    'Answer with JSON only: {{"score": [score1, score2], "reasoning": "..."}}'
-)
+    'Answer with JSON only: {"score": [score1, score2], "reasoning": "..."}'
+)  # sent verbatim (no .format pass), so the braces are literal
 
 
 # Delimiter some judge prompts ask the model to wrap its JSON in
@@ -62,6 +62,10 @@ def _coerce_score_list(raw, n_expected: int | None) -> list[float] | None:
     out = []
     for x in raw:
         if isinstance(x, bool) or not isinstance(x, (int, float)):
+            return None
+        if not math.isfinite(x):
+            # json.loads accepts NaN/Infinity literals; NaN passes every
+            # range comparison and would poison the task means
             return None
         if x < 0 or x > 10:
             # tolerate mild float spill (10.0000001) but reject scale text
@@ -211,7 +215,14 @@ class GeminiBackbone:
         pil = [Image.fromarray(np.asarray(im)) for im in images]
         # the SDK accepts PIL images inline in the content list
         resp = self._get_model().generate_content(pil + [prompt])
-        return resp.text or ""
+        try:
+            return resp.text or ""
+        except ValueError:
+            # .text raises on safety-blocked / empty-candidate responses;
+            # surface it as an unparseable reply ("") so the caller's
+            # bounded parse-retry + flagged-guess policy applies instead of
+            # the infinite transport-retry loop
+            return ""
 
 
 class LocalVLMBackbone:
@@ -333,14 +344,15 @@ def run_task(scorer: VIEScore, task_dir: str, gen_dir: str, out_csv: str,
         else:
             r = process_with_retry(scorer.evaluate, [src, edited],
                                    item["prompt"], give_up_parsing=True)
-        return {"key": key, "sc": r["sc"], "pq": r["pq"], "o": r["o"]}
+        return {"key": key, "sc": r["sc"], "pq": r["pq"], "o": r["o"],
+                "guessed": int(r["guessed"])}
 
     keys = [k for k in meta if (Path(gen_dir) / f"{k}.png").exists()]
     with ThreadPoolExecutor(max_workers=workers) as ex:
         rows = list(ex.map(one, keys))
     out_path.parent.mkdir(parents=True, exist_ok=True)
     with open(out_path, "w", newline="") as fh:
-        w = csv.DictWriter(fh, fieldnames=["key", "sc", "pq", "o"])
+        w = csv.DictWriter(fh, fieldnames=["key", "sc", "pq", "o", "guessed"])
         w.writeheader()
         w.writerows(rows)
     return rows

@@ -174,15 +174,28 @@ class QwenVLPromptEncoder:
         self.template = template or (
             QWEN_EDIT_PLUS_TEMPLATE if variant == "qwen-image-edit-plus"
             else QWEN_EDIT_TEMPLATE)
-        self.drop_idx = QWEN_EDIT_DROP_IDX if drop_idx is None else drop_idx
         tok = getattr(self.processor, "tokenizer", None)
-        if tok is not None:
-            derived = _derive_drop_idx(tok, self.template)
-            if derived != self.drop_idx:
+        if drop_idx is not None:
+            # explicit caller override wins — no derivation check (e.g. a
+            # custom template whose drop boundary isn't at the user turn)
+            self.drop_idx = drop_idx
+        elif template is not None:
+            # custom template without an explicit drop: derive from it (the
+            # hardcoded constant only describes the default templates)
+            if tok is None:
                 raise ValueError(
-                    f"drop_idx mismatch: template preamble tokenizes to "
-                    f"{derived} tokens but drop_idx={self.drop_idx}; the "
-                    f"template and the drop constant have diverged")
+                    "custom template needs an explicit drop_idx when the "
+                    "processor has no tokenizer to derive one from")
+            self.drop_idx = _derive_drop_idx(tok, self.template)
+        else:
+            self.drop_idx = QWEN_EDIT_DROP_IDX
+            if tok is not None:
+                derived = _derive_drop_idx(tok, self.template)
+                if derived != self.drop_idx:
+                    raise ValueError(
+                        f"drop_idx mismatch: template preamble tokenizes to "
+                        f"{derived} tokens but drop_idx={self.drop_idx}; the "
+                        f"template and the drop constant have diverged")
 
     def _format(self, prompt: str, n_images: int) -> str:
         if self.variant == "qwen-image-edit-plus":

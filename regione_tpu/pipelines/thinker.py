@@ -48,6 +48,22 @@ class EchoThinker:
         return True, prompt, [10.0], [10.0]
 
 
+def _lenient_scores(reply: str) -> list[float] | None:
+    """Fallback score extraction for prose VLM replies ("I'd rate 8 and 9"):
+    first two standalone 0-10 numbers, with scale mentions ("0 to 10",
+    "0-10") stripped first so they can't parse as scores.  The benchmark
+    judge (eval/viescore.py) deliberately has NO such fallback; here a wrong
+    score only reorders retry candidates, so leniency beats a 0.0 demotion."""
+    import re
+    txt = re.sub(r"\b0\s*(?:-|to)\s*10\b", "", reply)
+    # standalone numbers: not part of a word/decimal on the left, not
+    # followed by more digits (a sentence-ending "9." still counts)
+    nums = [float(m) for m in
+            re.findall(r"(?<![\w.])(\d{1,2}(?:\.\d+)?)(?!\d)", txt)]
+    nums = [n for n in nums if 0.0 <= n <= 10.0]
+    return nums[:2] if len(nums) >= 2 else None
+
+
 class VLMThinker:
     """Thinker backed by a callable VLM: fn(images, text) -> text.
     Prompt recipes follow the reference flow: rewrite, then judge+refine."""
@@ -70,8 +86,11 @@ class VLMThinker:
             "JSON {\"score\": [a, b]}, state <#Success> or <#Failure>, and "
             "if failed, give a refined instruction after <#Prompt>.")
         from regione_tpu.eval.viescore import parse_scores
-        scores = parse_scores(reply) or [0.0, 0.0]
-        success = "<#Success>" in reply or min(scores) >= 7.0
+        scores = (parse_scores(reply) or _lenient_scores(reply)
+                  or [0.0, 0.0])
+        # an explicit failure tag overrides the score heuristic
+        success = "<#Success>" in reply or (
+            "<#Failure>" not in reply and min(scores) >= 7.0)
         new_prompt = prompt
         if "<#Prompt>" in reply:
             new_prompt = reply.split("<#Prompt>", 1)[1].strip() or prompt

@@ -474,7 +474,8 @@ def is_wan_vae_state(state: dict) -> bool:
                for k in state)
 
 
-def load_converted(model_path: str, cfg, backend: str | None = None):
+def load_converted(model_path: str, cfg, backend: str | None = None,
+                   load_text_encoder: bool = True):
     """Load a HF-layout checkpoint directory:
       <model_path>/transformer/*.safetensors
       <model_path>/vae/*.safetensors
@@ -527,7 +528,11 @@ def load_converted(model_path: str, cfg, backend: str | None = None):
         vae_params = convert_vae(vae_state, vae_cfg)
 
     te_dir = root / "text_encoder"
-    if backend is not None and te_dir.exists():
+    if not load_text_encoder:
+        # offline conversion only needs the transformer/vae trees; skip the
+        # multi-GB prompt-encoder load entirely
+        encoder = MockTextEncoder(cfg.txt_in_dim, cfg.pooled_dim or None)
+    elif backend is not None and te_dir.exists():
         encoder = encoder_from_checkpoint(root, backend)
     elif te_dir.exists():
         encoder = HFTextEncoder(str(te_dir))
@@ -559,10 +564,11 @@ def main(argv=None):
     from regione_tpu.weights import checkpoint
 
     cfg = get_config(args.backend)
-    # backend=None: the offline converter only saves transformer/vae trees;
-    # don't pay for loading the multi-GB prompt encoder here (the runtime
-    # loading path, cli.main build_pipeline, wires the per-backend recipe)
-    params, vae_cfg, vae_params, _enc = load_converted(args.model_path, cfg)
+    # the offline converter only saves transformer/vae trees; don't pay for
+    # loading the multi-GB prompt encoder here (the runtime loading path,
+    # cli.main build_pipeline, wires the per-backend recipe)
+    params, vae_cfg, vae_params, _enc = load_converted(
+        args.model_path, cfg, load_text_encoder=False)
     checkpoint.save(f"{args.out}/transformer", params)
     checkpoint.save(f"{args.out}/vae", vae_params)
     print(f"converted {args.backend} -> {args.out} "

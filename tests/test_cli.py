@@ -114,6 +114,52 @@ def test_cli_act_int8_requires_int8():
         cli.build_pipeline(ns)
 
 
+def test_cli_int4_packs_mods_by_default(monkeypatch):
+    """--int4 must request int4 modulation packing (the published
+    single-chip 60-block format); --int4_mods false keeps mods int8."""
+    import argparse
+    import regione_tpu.ops.quant as quant
+    from regione_tpu.cli import main as cli
+
+    calls = []
+    real = quant.quantize_params
+
+    def spy(params, **kw):
+        calls.append(kw)
+        return real(params, **kw)
+
+    monkeypatch.setattr(quant, "quantize_params", spy)
+    base = dict(
+        backend="step1x-edit", preset="tiny", dev=False, model_path=None,
+        seed=0, warmup_step=6, post_step=2, refresh_step="16",
+        threshold=0.88, cache_threshold=0.02, erosion_dilation=True,
+        use_regione=True, int8=False, act_int8=False, int4=True,
+        quantize_mods=None)
+    cli.build_pipeline(argparse.Namespace(**base, int4_mods=None))
+    assert calls[-1]["bits"] == 4 and calls[-1]["int4_mods"] is True
+    assert calls[-1]["quantize_mods"] is True
+    cli.build_pipeline(argparse.Namespace(**base, int4_mods=False))
+    assert calls[-1]["bits"] == 4 and calls[-1]["int4_mods"] is False
+
+
+def test_cli_int4_demo(tmp_path):
+    """--int4 end-to-end through the real CLI (tiny preset): nibble-packed
+    weights incl. int4 mods produce a valid image."""
+    from PIL import Image
+    from regione_tpu.cli import main as cli
+
+    img = (np.random.default_rng(0).random((32, 32, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "in.png")
+    cli.main([
+        "--use_regione", "--random_weights", "--preset", "tiny",
+        "--int4", "--threshold", "0.0", "--erosion_dilation", "False",
+        "--image_path", str(tmp_path / "in.png"), "--prompt", "int4",
+        "--output_dir", str(tmp_path / "out"), "--size_level", "32",
+    ])
+    out = np.asarray(Image.open(tmp_path / "out" / "demo_0.png"))
+    assert out.shape == (32, 32, 3) and np.isfinite(out).all()
+
+
 def test_cli_w8a8_demo(tmp_path):
     """--int8 --act_int8 end-to-end through the real CLI (tiny preset):
     int8 weights + dynamic activation quant produce a valid image."""

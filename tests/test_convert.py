@@ -269,17 +269,8 @@ def test_flux_converter_roundtrip():
     assert v.shape == (1, 32, cfg.out_channels)
 
 
-def test_vae_converter_roundtrip():
-    """Synthetic diffusers AutoencoderKL state dict -> our VAE pytree:
-    every tensor mapped, transposed correctly, and the tree runs."""
-    from regione_tpu.models import vae as V
-    from regione_tpu.weights.convert import convert_vae
-
-    vae_cfg = V.VAEConfig(block_out_channels=(8, 16), latent_channels=2,
-                          norm_num_groups=4, layers_per_block=1)
-    params = V.init_vae(jax.random.PRNGKey(0), vae_cfg)
-
-    # inverse mapping: our pytree -> torch-layout flat dict
+def synth_vae_state(params):
+    """Inverse mapping: our VAE pytree -> torch-layout flat state dict."""
     state = {}
 
     def put_conv(prefix, p):
@@ -334,6 +325,19 @@ def test_vae_converter_roundtrip():
         if "upsample" in blk:
             put_conv(f"decoder.up_blocks.{i}.upsamplers.0.conv",
                      blk["upsample"])
+    return state
+
+
+def test_vae_converter_roundtrip():
+    """Synthetic diffusers AutoencoderKL state dict -> our VAE pytree:
+    every tensor mapped, transposed correctly, and the tree runs."""
+    from regione_tpu.models import vae as V
+    from regione_tpu.weights.convert import convert_vae
+
+    vae_cfg = V.VAEConfig(block_out_channels=(8, 16), latent_channels=2,
+                          norm_num_groups=4, layers_per_block=1)
+    params = V.init_vae(jax.random.PRNGKey(0), vae_cfg)
+    state = synth_vae_state(params)
 
     back = convert_vae(state, vae_cfg)
     flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -351,3 +355,55 @@ def test_vae_converter_roundtrip():
     z = V.encode(back_j["encoder"], vae_cfg, img)
     out = V.decode(back_j["decoder"], vae_cfg, z)
     assert out.shape == (1, 16, 16, 3)
+
+
+def test_load_converted_from_disk_skips_text_encoder(tmp_path):
+    """load_converted end-to-end from a real on-disk HF checkpoint layout
+    (safetensors transformer + vae + config.json), with
+    load_text_encoder=False: the text_encoder dir must not be touched (the
+    offline converter previously eagerly loaded the multi-GB encoder it
+    discards) and the trees must come back complete."""
+    import json
+    from safetensors.numpy import save_file
+    from regione_tpu.models import vae as V
+    from regione_tpu.models.text_encoders import MockTextEncoder
+    from regione_tpu.weights.convert import load_converted
+
+    cfg = get_config("tiny")
+    params = init_mmdit(jax.random.PRNGKey(0), cfg)
+    state = synth_state_from_params(params, cfg)
+    (tmp_path / "transformer").mkdir()
+    save_file({k: np.asarray(v, np.float32) for k, v in state.items()},
+              str(tmp_path / "transformer" / "model.safetensors"))
+
+    vae_cfg = V.VAEConfig(block_out_channels=(8, 16), latent_channels=2,
+                          norm_num_groups=4, layers_per_block=1)
+    vparams = V.init_vae(jax.random.PRNGKey(1), vae_cfg)
+    (tmp_path / "vae").mkdir()
+    save_file({k: np.asarray(v, np.float32)
+               for k, v in synth_vae_state(vparams).items()},
+              str(tmp_path / "vae" / "model.safetensors"))
+    json.dump({"latent_channels": 2, "block_out_channels": [8, 16],
+               "layers_per_block": 1, "norm_num_groups": 4,
+               "scaling_factor": 0.3611, "shift_factor": 0.1159},
+              open(tmp_path / "vae" / "config.json", "w"))
+
+    # a text_encoder dir that would fail any from_pretrained attempt
+    (tmp_path / "text_encoder").mkdir()
+    (tmp_path / "text_encoder" / "config.json").write_text("not json {")
+
+    dit, vcfg, vae_params, enc = load_converted(
+        str(tmp_path), cfg, load_text_encoder=False)
+    assert isinstance(enc, MockTextEncoder)
+    assert vcfg.latent_channels == 2
+
+    # same structure as the init tree, values bf16-cast
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(dit)[0]
+    assert ({tuple(str(k) for k in p) for p, _ in flat_a}
+            == {tuple(str(k) for k in p) for p, _ in flat_b})
+    for (pa, va), (_, vb) in zip(sorted(flat_a, key=lambda t: str(t[0])),
+                                 sorted(flat_b, key=lambda t: str(t[0]))):
+        np.testing.assert_allclose(np.asarray(va, np.float32),
+                                   np.asarray(vb, np.float32),
+                                   rtol=1e-2, atol=1e-2, err_msg=str(pa))

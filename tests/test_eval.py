@@ -125,6 +125,39 @@ def test_viescore_parse_sloppy_corpus():
     assert p('{"score": [7]}', n_expected=2) is None
     assert p('[1, 2, 3]', n_expected=2) is None
     assert p('{"score": [7, 8]}', n_expected=2) == [7.0, 8.0]
+    # non-finite literals (json.loads accepts NaN/Infinity) must reject,
+    # not flow into the task means
+    assert p('{"score": [NaN, 7]}') is None
+    assert p('{"score": [Infinity, 7]}') is None
+
+
+def test_prompts_render_literal_json_example():
+    """Both judge prompts must show the model a single-braced JSON example:
+    _SC_PROMPT after its .format pass, _PQ_PROMPT verbatim (it is sent
+    without a .format pass)."""
+    sc = viescore._SC_PROMPT.format(instruction="make it red")
+    for prompt in (sc, viescore._PQ_PROMPT):
+        assert "{{" not in prompt and "}}" not in prompt
+        assert '{"score": [score1, score2]' in prompt
+
+
+def test_gemini_blocked_response_degrades_to_parse_failure():
+    """A safety-blocked Gemini response (resp.text raises ValueError) must
+    surface as an unparseable reply (bounded retries + flagged guess), not
+    an exception that loops the transport-retry path forever."""
+    b = viescore.GeminiBackbone(api_key="k")
+
+    class _BlockedResp:
+        @property
+        def text(self):
+            raise ValueError("response was blocked by safety filters")
+
+    class _Model:
+        def generate_content(self, content):
+            return _BlockedResp()
+
+    b._model = _Model()
+    assert b.get_parsed_output("rate this", [np.zeros((4, 4, 3), np.uint8)]) == ""
 
 
 def test_gemini_backbone_construction(monkeypatch):
@@ -183,6 +216,10 @@ def test_viescore_run_task_gives_up_on_prose(tmp_path):
                              str(gen), str(out_csv), parse_tries=2)
     assert len(rows) == 1
     assert float(rows[0]["sc"]) == 5.0 and float(rows[0]["o"]) == 5.0
+    # the guess is flagged in the persisted CSV, not just in memory
+    assert int(rows[0]["guessed"]) == 1
+    persisted = list(csv.DictReader(open(out_csv)))
+    assert persisted[0]["guessed"] == "1"
     # 2 parse attempts + 1 give-up pass, 2 backbone queries each
     assert len(calls) == 6
 
@@ -256,3 +293,30 @@ def test_thinker_reflection_loop():
     assert len(info["images"]) == 2
     assert outs[1] == "add a LARGE red hat"
     assert info["best_info"]["success"]
+
+
+def test_thinker_reflect_prose_and_failure_tag():
+    """reflect must extract scores from prose VLM replies (local VLMs often
+    skip the JSON framing) and an explicit <#Failure> tag must override the
+    score heuristic."""
+    from regione_tpu.pipelines.thinker import VLMThinker, _lenient_scores
+
+    # prose numbers extract; scale mentions don't parse as scores
+    assert _lenient_scores("I'd rate 8 and 9, nice work") == [8.0, 9.0]
+    assert _lenient_scores("On a scale of 0 to 10: 7.5 then 6") == [7.5, 6.0]
+    assert _lenient_scores("on a scale of 0-10 it is hard to say") is None
+
+    def vlm_prose(images, text):
+        return "I'd rate 8 and 9. Looks faithful and clean."
+
+    ok, new_prompt, s1, s2 = VLMThinker(vlm_prose).reflect(
+        None, None, "add a hat")
+    assert ok and s1 == [8.0] and s2 == [9.0]
+    assert new_prompt == "add a hat"
+
+    def vlm_contradiction(images, text):
+        return '{"score": [8, 9]} <#Failure> <#Prompt> try harder'
+
+    ok, new_prompt, _, _ = VLMThinker(vlm_contradiction).reflect(
+        None, None, "add a hat")
+    assert not ok and new_prompt == "try harder"

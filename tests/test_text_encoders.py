@@ -113,6 +113,45 @@ def test_drop_idx_mismatch_raises(monkeypatch, tmp_path):
         TE.QwenVLPromptEncoder(str(tmp_path), variant="qwen-image-edit")
 
 
+def test_drop_idx_overrides_respected(monkeypatch, tmp_path):
+    """Explicit drop_idx/template constructor overrides must work: an
+    explicit drop_idx is trusted as-is (no derivation assert), and a custom
+    template derives its own drop instead of being checked against the
+    default-template constant."""
+    import regione_tpu.models.text_encoders as TE
+
+    class _Proc:
+        tokenizer = _CountingTokenizer()
+
+    class _VL:
+        def to(self, device):
+            return self
+
+        def eval(self):
+            return self
+
+    monkeypatch.setattr(
+        "transformers.AutoProcessor.from_pretrained",
+        staticmethod(lambda p: _Proc()))
+    for name in ("Qwen2_5_VLForConditionalGeneration",
+                 "Qwen2VLForConditionalGeneration"):
+        try:
+            monkeypatch.setattr(
+                f"transformers.{name}.from_pretrained",
+                staticmethod(lambda p, **kw: _VL()))
+        except AttributeError:
+            pass
+
+    # explicit drop_idx: trusted even with a markerless custom template
+    enc = TE.QwenVLPromptEncoder(str(tmp_path), template="plain {}",
+                                 drop_idx=0)
+    assert enc.drop_idx == 0
+    # custom template without drop_idx: derived from the template itself
+    tmpl = "sys\n" + TE._USER_TURN_MARKER + "{}<|im_end|>"
+    enc = TE.QwenVLPromptEncoder(str(tmp_path), template=tmpl)
+    assert enc.drop_idx == len("sys\n" + TE._USER_TURN_MARKER)
+
+
 def test_encoder_from_checkpoint_dispatch(monkeypatch, tmp_path):
     """Per-backend dispatch of the loading path (VERDICT r2 missing #2):
     each backend resolves the right encoder class and subfolder layout."""
