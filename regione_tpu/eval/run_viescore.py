@@ -12,7 +12,7 @@ import json
 from pathlib import Path
 
 from regione_tpu.eval.viescore import (
-    DryRunBackbone, OpenAIBackbone, VIEScore, analyze_scores, run_task)
+    DryRunBackbone, OpenAIBackbone, VIEScore, run_task)
 
 
 def main(argv=None):
@@ -64,7 +64,8 @@ def main(argv=None):
                         workers=args.workers)
         csvs.append(str(out_csv))
         print(f"{task.name}: {len(rows)} scored")
-    stats = analyze_scores(csvs)
+    from regione_tpu.eval.viescore import write_score_artifacts
+    stats = write_score_artifacts(csvs, str(gen_root), args.backbone)
     print(json.dumps(stats, indent=2))
 
 

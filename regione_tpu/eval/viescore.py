@@ -360,7 +360,12 @@ def run_task(scorer: VIEScore, task_dir: str, gen_dir: str, out_csv: str,
 
 def analyze_scores(csv_paths: list[str]) -> dict:
     """Per-task and overall SC/PQ/O means
-    (reference calculate_statistics.py:11-72)."""
+    (reference calculate_statistics.py:11-72).
+
+    ``overall`` is row-weighted (every image counts equally);
+    ``overall_task_mean`` is the reference's headline convention — the
+    unweighted mean over task means (calculate_statistics.py:55-71, the
+    number written to ``*_voe_score_merged.txt``)."""
     per_task, all_rows = {}, []
     for p in csv_paths:
         rows = list(csv.DictReader(open(p)))
@@ -372,5 +377,26 @@ def analyze_scores(csv_paths: list[str]) -> dict:
         all_rows += rows
     overall = ({k: float(np.mean([float(r[k]) for r in all_rows]))
                 for k in ("sc", "pq", "o")} if all_rows else {})
+    task_mean = ({k: float(np.mean([t[k] for t in per_task.values()]))
+                  for k in ("sc", "pq", "o")} if per_task else {})
     return {"per_task": per_task, "overall": overall,
-            "n": len(all_rows)}
+            "overall_task_mean": task_mean, "n": len(all_rows)}
+
+
+def write_score_artifacts(csv_paths: list[str], out_root: str,
+                          backbone: str) -> dict:
+    """Persist the reference's score artifacts
+    (calculate_statistics.py:105-114): per-task
+    ``<task>/{backbone}_voe_score_mean.txt`` ("sc, pq, o" to 3 dp) and
+    ``{backbone}_voe_score_merged.txt`` at the root ("Average: sc, pq, o"
+    over task means).  Returns the analyze_scores dict."""
+    stats = analyze_scores(csv_paths)
+    for task, t in stats["per_task"].items():
+        p = Path(out_root) / task / f"{backbone}_voe_score_mean.txt"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(f"{t['sc']:.3f}, {t['pq']:.3f}, {t['o']:.3f}")
+    if stats["overall_task_mean"]:
+        m = stats["overall_task_mean"]
+        (Path(out_root) / f"{backbone}_voe_score_merged.txt").write_text(
+            f"Average: {m['sc']:.3f}, {m['pq']:.3f}, {m['o']:.3f}")
+    return stats

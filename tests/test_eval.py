@@ -246,6 +246,34 @@ def test_viescore_task_runner_and_stats(tmp_path):
     assert len(rows2) == 3
     stats = viescore.analyze_scores([str(out_csv)])
     assert stats["n"] == 3 and "o" in stats["overall"]
+    # reference-convention artifacts (calculate_statistics.py:105-114)
+    stats2 = viescore.write_score_artifacts([str(out_csv)], str(tmp_path),
+                                            "dryrun")
+    merged = (tmp_path / "dryrun_voe_score_merged.txt").read_text()
+    assert merged.startswith("Average: ")
+    m = stats2["overall_task_mean"]
+    assert merged == f"Average: {m['sc']:.3f}, {m['pq']:.3f}, {m['o']:.3f}"
+    per_task = (tmp_path / "task_scores" /
+                "dryrun_voe_score_mean.txt").read_text()
+    assert len(per_task.split(", ")) == 3
+
+
+def test_overall_task_mean_is_unweighted_over_tasks(tmp_path):
+    """The reference's headline average weights each TASK equally, not
+    each image (calculate_statistics.py:55-71) — with unbalanced task
+    sizes the two conventions must differ accordingly."""
+    a = tmp_path / "ta" / "v.csv"
+    b = tmp_path / "tb" / "v.csv"
+    for p, rows in ((a, [(2, 2, 2)]), (b, [(8, 8, 8), (8, 8, 8), (8, 8, 8)])):
+        p.parent.mkdir()
+        with open(p, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=["key", "sc", "pq", "o"])
+            w.writeheader()
+            for i, (sc, pq, o) in enumerate(rows):
+                w.writerow({"key": f"k{i}", "sc": sc, "pq": pq, "o": o})
+    stats = viescore.analyze_scores([str(a), str(b)])
+    assert stats["overall"]["o"] == pytest.approx((2 + 8 * 3) / 4)   # rows
+    assert stats["overall_task_mean"]["o"] == pytest.approx(5.0)     # tasks
 
 
 def test_retry_backoff():
