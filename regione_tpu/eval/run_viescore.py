@@ -11,8 +11,7 @@ import argparse
 import json
 from pathlib import Path
 
-from regione_tpu.eval.viescore import (
-    DryRunBackbone, OpenAIBackbone, VIEScore, run_task)
+from regione_tpu.eval.viescore import VIEScore, make_backbone, run_task
 
 
 def main(argv=None):
@@ -23,31 +22,20 @@ def main(argv=None):
                     help="results root holding <task>/generation; defaults "
                          "to --data_dir")
     ap.add_argument("--backbone", default="gpt4o",
-                    choices=["gpt4o", "gemini", "qwen25vl", "dryrun"])
-    ap.add_argument("--model_name", default="gpt-4.1")
+                    choices=["gpt4o", "gpt4v", "gemini", "idefics2", "mantis",
+                             "minicpmv", "qwen25vl", "dryrun"])
+    ap.add_argument("--model_name", default=None,
+                    help="API model id override (gpt4o/gpt4v/gemini)")
     ap.add_argument("--key_path", default=None)
     ap.add_argument("--vlm_path", default=None,
-                    help="local VLM checkpoint dir (qwen25vl backbone)")
+                    help="local VLM checkpoint dir (idefics2/mantis/"
+                         "minicpmv/qwen25vl backbones; no hub egress here)")
     ap.add_argument("--workers", type=int, default=6)
     args = ap.parse_args(argv)
 
-    if args.backbone == "gpt4o":
-        assert args.key_path, "--key_path required for the gpt4o backbone"
-        backbone = OpenAIBackbone(args.key_path, args.model_name)
-    elif args.backbone == "gemini":
-        from regione_tpu.eval.viescore import GeminiBackbone
-        key = (open(args.key_path).read().split()[0]
-               if args.key_path else None)  # else $GEMINI_API_KEY
-        backbone = GeminiBackbone(api_key=key,
-                                  model_name=args.model_name
-                                  if args.model_name.startswith("gemini")
-                                  else "gemini-1.5-pro")
-    elif args.backbone == "qwen25vl":
-        from regione_tpu.eval.viescore import LocalVLMBackbone
-        assert args.vlm_path, "--vlm_path required for the qwen25vl backbone"
-        backbone = LocalVLMBackbone(args.vlm_path)
-    else:
-        backbone = DryRunBackbone()
+    backbone = make_backbone(args.backbone, key_path=args.key_path,
+                             model_name=args.model_name,
+                             vlm_path=args.vlm_path)
     scorer = VIEScore(backbone)
 
     root = Path(args.data_dir)

@@ -259,6 +259,74 @@ class LocalVLMBackbone:
         return self.processor.decode(new_tokens, skip_special_tokens=True)
 
 
+class MiniCPMVBackbone:
+    """MiniCPM-V judge via the model's own ``chat`` API (reference
+    mllm_tools/minicpmv_eval.py: AutoModel with trust_remote_code +
+    ``model.chat(image=None, msgs=..., sampling=False)``).  Differs from
+    LocalVLMBackbone because MiniCPM-V does not route through
+    AutoModelForVision2Seq/generate."""
+
+    def __init__(self, model_path: str = "openbmb/MiniCPM-Llama3-V-2_5",
+                 device: str = "cpu"):
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+        self.model = AutoModel.from_pretrained(
+            model_path, trust_remote_code=True,
+            torch_dtype=torch.float32).to(device).eval()
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            model_path, trust_remote_code=True)
+
+    def get_parsed_output(self, prompt: str, images: list) -> str:
+        from PIL import Image
+        pil = [Image.fromarray(np.asarray(im)) for im in images]
+        msgs = [{"role": "user",
+                 "content": [{"type": "image"}] * len(pil)
+                 + [{"type": "text", "text": prompt}]}]
+        return self.model.chat(image=pil[0] if pil else None, msgs=msgs,
+                               tokenizer=self.tokenizer, sampling=False)
+
+
+# Local-judge model zoo: reference backbone name -> default checkpoint id
+# (mllm_tools/{idefics2,mantis_idefics2,minicpmv,qwen25vl}_eval.py).  The
+# ids are only defaults — this container has no hub egress, so callers pass
+# a local --vlm_path; idefics2/mantis/qwen25vl all speak the
+# AutoProcessor + AutoModelForVision2Seq chat-template protocol that
+# LocalVLMBackbone implements, minicpmv needs the chat-API variant.
+LOCAL_JUDGE_DEFAULTS = {
+    "idefics2": "HuggingFaceM4/idefics2-8b",
+    "mantis": "TIGER-Lab/Mantis-8B-Idefics2",
+    "qwen25vl": "Qwen/Qwen2.5-VL-7B-Instruct",
+    "minicpmv": "openbmb/MiniCPM-Llama3-V-2_5",
+}
+
+
+def make_backbone(name: str, key_path: str | None = None,
+                  model_name: str | None = None,
+                  vlm_path: str | None = None, device: str = "cpu"):
+    """Backbone factory matching the reference's dispatch table
+    (viescore/__init__.py:18-40): gpt4o/gpt4v (OpenAI), gemini,
+    idefics2/mantis/qwen25vl (vision2seq local VLMs), minicpmv (chat-API
+    local VLM), plus this repo's dryrun plumbing backbone."""
+    if name in ("gpt4o", "gpt4v"):
+        assert key_path, f"--key_path required for the {name} backbone"
+        default = "gpt-4.1" if name == "gpt4o" else "gpt-4-vision-preview"
+        return OpenAIBackbone(key_path, model_name or default)
+    if name == "gemini":
+        key = open(key_path).read().split()[0] if key_path else None
+        mn = (model_name if model_name and model_name.startswith("gemini")
+              else "gemini-1.5-pro")
+        return GeminiBackbone(api_key=key, model_name=mn)
+    if name == "minicpmv":
+        return MiniCPMVBackbone(
+            vlm_path or LOCAL_JUDGE_DEFAULTS[name], device=device)
+    if name in LOCAL_JUDGE_DEFAULTS:
+        return LocalVLMBackbone(
+            vlm_path or LOCAL_JUDGE_DEFAULTS[name], device=device)
+    if name == "dryrun":
+        return DryRunBackbone()
+    raise ValueError(f"unknown VIEScore backbone: {name}")
+
+
 class VIEScore:
     """SC/PQ/O scoring of one (source, edited, instruction) triple
     (reference viescore/__init__.py:10-101)."""

@@ -174,6 +174,65 @@ def test_gemini_backbone_construction(monkeypatch):
     assert viescore.GeminiBackbone().api_key == "k2"
 
 
+def test_make_backbone_dispatch(monkeypatch, tmp_path):
+    """make_backbone covers the reference's full dispatch table
+    (viescore/__init__.py:18-40): gpt4o/gpt4v/gemini/idefics2/mantis/
+    minicpmv/qwen25vl (+ this repo's dryrun), routing each local-judge name
+    to the right wrapper class with its reference default checkpoint id."""
+    built = {}
+
+    class FakeLocal:
+        def __init__(self, path, device="cpu"):
+            built["local"] = path
+
+    class FakeMini:
+        def __init__(self, path, device="cpu"):
+            built["mini"] = path
+
+    monkeypatch.setattr(viescore, "LocalVLMBackbone", FakeLocal)
+    monkeypatch.setattr(viescore, "MiniCPMVBackbone", FakeMini)
+
+    assert isinstance(viescore.make_backbone("dryrun"),
+                      viescore.DryRunBackbone)
+    with pytest.raises(ValueError):
+        viescore.make_backbone("nope")
+
+    key = tmp_path / "keys.txt"
+    key.write_text("sk-abc\n")
+    b = viescore.make_backbone("gpt4o", key_path=str(key))
+    assert b.model_name == "gpt-4.1"
+    b = viescore.make_backbone("gpt4v", key_path=str(key))
+    assert b.model_name == "gpt-4-vision-preview"
+    b = viescore.make_backbone("gemini", key_path=str(key),
+                               model_name="gpt-4.1")  # non-gemini id ignored
+    assert b.model_name == "gemini-1.5-pro" and b.api_key == "sk-abc"
+
+    for name in ("idefics2", "mantis", "qwen25vl"):
+        viescore.make_backbone(name)
+        assert built.pop("local") == viescore.LOCAL_JUDGE_DEFAULTS[name]
+    viescore.make_backbone("minicpmv", vlm_path="/ckpt/minicpm")
+    assert built.pop("mini") == "/ckpt/minicpm"
+
+
+def test_minicpmv_backbone_chat_protocol():
+    """MiniCPMVBackbone speaks the chat API (model.chat with msgs +
+    tokenizer, sampling=False) rather than generate — the protocol the
+    reference's minicpmv_eval.py wrapper uses."""
+    class FakeChatModel:
+        def chat(self, image, msgs, tokenizer, sampling):
+            assert sampling is False and tokenizer == "tok"
+            assert msgs[0]["role"] == "user"
+            kinds = [c["type"] for c in msgs[0]["content"]]
+            assert kinds == ["image", "image", "text"]
+            return '{"score": [6, 7]}'
+
+    b = viescore.MiniCPMVBackbone.__new__(viescore.MiniCPMVBackbone)
+    b.model, b.tokenizer = FakeChatModel(), "tok"
+    img = np.zeros((4, 4, 3), np.uint8)
+    assert viescore.parse_scores(
+        b.get_parsed_output("rate", [img, img])) == [6.0, 7.0]
+
+
 def test_viescore_give_up_parsing():
     """An unparseable judge reply raises (so the runner re-queries); with
     give_up_parsing it degrades to a flagged neutral guess."""
