@@ -29,3 +29,9 @@ trial '{"xla_tpu_max_hbm_size_mib": "17408"}'
 trial '{"xla_tpu_rematerialization_min_size_in_bytes": "100000000"}'
 trial '{"xla_tpu_rematerialization_algo": "LINEAR_ORDER_MIP"}'
 trial '{"xla_tpu_scheduler_percent_shared_memory_limit": "110"}'
+# second wave: scheduler-side memory slack + combinations of the above
+# (a rejected flag name costs one empty trial line, nothing else)
+trial '{"xla_jf_rematerialization_percent_shared_memory_limit": "110"}'
+trial '{"xla_tpu_rematerialization_percent_shared_memory_limit": "110"}'
+trial '{"xla_tpu_rematerialization_min_size_in_bytes": "100000000", "xla_tpu_scheduler_percent_shared_memory_limit": "110"}'
+trial '{"xla_tpu_user_reserved_hbm_bytes": "0", "xla_tpu_rematerialization_min_size_in_bytes": "100000000"}'
