@@ -47,9 +47,15 @@ class MockTextEncoder:
         self.pooled_dim = pooled_dim
         self.max_length = max_length
 
-    def encode(self, prompt: str):
-        seed = int.from_bytes(
-            hashlib.sha256(prompt.encode()).digest()[:8], "little")
+    def encode(self, prompt: str, image=None):
+        h = hashlib.sha256(prompt.encode())
+        if image is not None:
+            # fold image content into the seed so image-conditioned prompts
+            # produce image-dependent features (mirrors the VL encoders)
+            imgs = image if isinstance(image, (list, tuple)) else [image]
+            for im in imgs:
+                h.update(np.ascontiguousarray(np.asarray(im)).tobytes())
+        seed = int.from_bytes(h.digest()[:8], "little")
         rng = np.random.default_rng(seed)
         t = min(self.max_length, max(4, len(prompt.split()) + 2))
         emb = np.zeros((1, self.max_length, self.dim), np.float32)
@@ -362,7 +368,7 @@ class HFTextEncoder:
         self.max_length = max_length
         self.device = device
 
-    def encode(self, prompt: str):
+    def encode(self, prompt: str, image=None):
         torch = self.torch
         with torch.no_grad():
             toks = self.tokenizer(

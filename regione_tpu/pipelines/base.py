@@ -279,6 +279,56 @@ class EditPipelineBase:
         return np.asarray(jax.image.resize(
             jnp.asarray(arr), (h, w, arr.shape[-1]), "bilinear"))
 
+    def _to_uint8(self, image) -> np.ndarray:
+        """PIL / float / uint8 image -> uint8 [H, W, 3] (processor input)."""
+        arr = np.asarray(image)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, -1)
+        if arr.shape[-1] == 4:
+            arr = arr[..., :3]
+        if arr.dtype != np.uint8:
+            arr = arr.astype(np.float32)
+            if arr.max() <= 1.5:  # 0..1 floats
+                arr = arr * 255.0
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+        return arr
+
+    def _resize_uint8(self, image, w: int, h: int) -> np.ndarray:
+        arr = self._to_uint8(image).astype(np.float32)
+        arr = self._resize(arr, w, h)
+        return np.clip(np.round(arr), 0, 255).astype(np.uint8)
+
+    # -- prompt-encoder conditioning hooks -------------------------------------
+
+    def encoder_images(self, images: list, width: int, height: int):
+        """Image(s) handed to `text_encoder.encode` so the prompt embeddings
+        are conditioned on the reference image — required by every reference
+        backend except FLUX: Step1X passes `ref_image=` into encode_prompt
+        for BOTH CFG halves (RegionE/Step1XEdit/inplace.py:235-256), Qwen
+        passes `image=prompt_image` where prompt_image is the input resized
+        to the output resolution (RegionE/QwenImageEdit/inplace.py:220-252).
+
+        Default (Step1X / Qwen families): the edit target resized to the
+        output (VAE) resolution, as uint8 HWC for the VL processor.
+        FluxKontextPipeline overrides to None (T5/CLIP are text-only);
+        QwenImageEditPlusPipeline overrides with the 384^2-area condition
+        recipe over ALL references."""
+        return [self._resize_uint8(images[0], width, height)]
+
+    def ref_vae_size(self, ref_w: int, ref_h: int, width: int, height: int
+                     ) -> tuple[int, int]:
+        """VAE resolution for an EXTRA reference image (multi-reference
+        conditioning).  Default: aspect-preserving resize to the edit
+        target's area, multiples of the token factor.  Plus overrides with
+        the reference's per-image VAE_IMAGE_SIZE recipe
+        (RegionE/QwenImageEditPlus/inplace.py:236-244)."""
+        f = self.token_factor
+        ratio = ref_w / ref_h
+        area = width * height
+        ew = max(f, int(round((area * ratio) ** 0.5 / f) * f))
+        eh = max(f, int(round((ew / ratio) / f) * f))
+        return ew, eh
+
     def encode_image(self, image, width: int, height: int) -> jnp.ndarray:
         """reference encode_image (inplace.py:188-194): VAE-encode the
         reference image into condition latent tokens [1, S, 4*C_lat]."""
@@ -313,24 +363,41 @@ class EditPipelineBase:
         cond_parts = [self.encode_image(images[0], width, height)]
         cond_grids = [(grid_h, grid_w)]
         for extra_img in images[1:]:
-            # extra references: aspect-preserving resize to the target's
-            # area (the reference pins refs to VAE_IMAGE_SIZE=1024^2, which
-            # equals the target area at production resolution —
-            # RegionE/QwenImageEditPlus CONDITION/VAE size constants)
             ea = np.asarray(extra_img)
-            ratio = ea.shape[1] / ea.shape[0]
-            area = width * height
-            ew = max(f, int(round((area * ratio) ** 0.5 / f) * f))
-            eh = max(f, int(round((ew / ratio) / f) * f))
+            ew, eh = self.ref_vae_size(ea.shape[1], ea.shape[0],
+                                       width, height)
             cond_parts.append(self.encode_image(extra_img, ew, eh))
             cond_grids.append((eh // f, ew // f))
         cond = jnp.concatenate(cond_parts, axis=1)
-        emb_p, pooled_p, mask_p = self.text_encoder.encode(prompt)
+        # Image-conditioned prompt embeddings: the SAME encoder image(s) go
+        # into BOTH CFG halves (reference Step1XEdit/inplace.py:235-256
+        # `ref_image=`, QwenImageEdit/inplace.py:239-252 `image=prompt_image`,
+        # QwenImageEditPlus/inplace.py:260-278 `image=condition_images`).
+        enc_imgs = self.encoder_images(images, width, height)
+        emb_p, pooled_p, mask_p = self.text_encoder.encode(prompt,
+                                                           image=enc_imgs)
         if self.do_cfg:
-            emb_n, pooled_n, mask_n = self.text_encoder.encode(negative_prompt)
+            emb_n, pooled_n, mask_n = self.text_encoder.encode(
+                negative_prompt, image=enc_imgs)
+            # cond/uncond may re-pad to different lengths (the drop-and-repad
+            # recipe trims to each batch's max): pad to the common max so the
+            # two halves stack on the batch axis, masking the padding.
+            t_max = max(emb_p.shape[1], emb_n.shape[1])
+
+            def pad_t(a, fill=0):
+                if a is None or a.shape[1] == t_max:
+                    return a
+                widths = [(0, 0), (0, t_max - a.shape[1])] + \
+                         [(0, 0)] * (a.ndim - 2)
+                return np.pad(a, widths, constant_values=fill)
+
+            emb_p, emb_n = pad_t(emb_p), pad_t(emb_n)
+            mask_p, mask_n = pad_t(mask_p), pad_t(mask_n)
             txt = jnp.asarray(np.concatenate([emb_p, emb_n], 0), self.cfg.dtype)
             mask = np.concatenate([mask_p, mask_n], 0)
-            pooled = (jnp.asarray(np.concatenate([pooled_p, pooled_p], 0),
+            # negative half uses the NEGATIVE pooled embedding (reference
+            # FluxKontext/inplace.py:198-204,356 negative_pooled_prompt_embeds)
+            pooled = (jnp.asarray(np.concatenate([pooled_p, pooled_n], 0),
                                   self.cfg.dtype)
                       if pooled_p is not None else None)
         else:

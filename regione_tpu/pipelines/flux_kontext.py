@@ -50,3 +50,9 @@ class FluxKontextPipeline(EditPipelineBase):
 
     def target_resolution(self, width: int, height: int) -> tuple[int, int]:
         return snap_kontext_resolution(width, height)
+
+    def encoder_images(self, images, width, height):
+        """FLUX prompts are text-only: T5/CLIP never see the reference image
+        (reference FluxKontext/inplace.py:183-205 encode_prompt takes no
+        image argument; conditioning is latent-space only)."""
+        return None

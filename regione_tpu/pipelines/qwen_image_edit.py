@@ -105,4 +105,47 @@ class QwenImageEditPipeline(EditPipelineBase):
 
 
 class QwenImageEditPlusPipeline(QwenImageEditPipeline):
+    """Qwen-Image-Edit-2509 ("Plus"): multi-reference conditioning.
+
+    Reference deltas vs the base Qwen-Image-Edit pipeline
+    (RegionE/QwenImageEditPlus/inplace.py):
+      * DUAL-SIZE condition recipe (inplace.py:53-54, 236-244): every
+        reference image is resized TWICE — to CONDITION_IMAGE_SIZE
+        (384^2 area, /32) for the Qwen2.5-VL prompt encoder, and to
+        VAE_IMAGE_SIZE (1024^2 area, /32) for the VAE condition latents.
+      * ALL condition images go to the prompt encoder for BOTH CFG halves
+        (inplace.py:260-278 `image=condition_images`), under the
+        multi-image "Picture i:" chat template
+        (models/text_encoders.py QWEN_EDIT_PLUS_TEMPLATE).
+      * per-image rope frame tags: each reference gets its own axis-0
+        (frame) coordinate in img_shapes (inplace.py:293-300) — carried
+        here by `rope_position_ids` via cond_grids (frame idx 1..N)."""
+
     backend = "qwen-image-edit-plus"
+    # reference constants (inplace.py:53-54); instance attrs so tiny-scale
+    # tests can shrink them while production keeps the reference values
+    condition_image_area: int = CONDITION_IMAGE_AREA
+    vae_image_area: int = VAE_IMAGE_AREA
+
+    def encoder_images(self, images, width, height):
+        """Reference recipe: condition_images[i] = resize(img_i to 384^2
+        area, /32) (RegionE/QwenImageEditPlus/inplace.py:53,236-242)."""
+        out = []
+        for img in images:
+            arr = self._to_uint8(img)
+            cw, ch = calculate_dimensions(
+                self.condition_image_area, arr.shape[1] / arr.shape[0], 32)
+            out.append(self._resize_uint8(arr, cw, ch))
+        return out
+
+    def ref_vae_size(self, ref_w: int, ref_h: int, width: int, height: int
+                     ) -> tuple[int, int]:
+        """Reference recipe: vae_image_sizes[i] = calculate_dimensions(
+        VAE_IMAGE_SIZE, img_i aspect) — per-image 1024^2-area resize
+        (RegionE/QwenImageEditPlus/inplace.py:54,239-243), NOT the edit
+        target's area."""
+        f = self.token_factor
+        w, h = calculate_dimensions(self.vae_image_area, ref_w / ref_h, 32)
+        # keep VAE grids aligned to the token factor even when a test
+        # shrinks vae_image_area below 32-multiples of f
+        return max(f, (w // f) * f), max(f, (h // f) * f)

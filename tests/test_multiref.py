@@ -23,6 +23,9 @@ def make_plus_pipe():
                           norm_num_groups=4, layers_per_block=1)
     pipe.attach_vae(vae_cfg, V.init_vae(jax.random.PRNGKey(1), vae_cfg))
     pipe.attach_text_encoder(MockTextEncoder(cfg.txt_in_dim, None, max_length=8))
+    # shrink the reference 1024^2/384^2 dual-size areas to test scale
+    pipe.vae_image_area = 32 * 32
+    pipe.condition_image_area = 32 * 32
     return cfg, pipe
 
 
