@@ -194,8 +194,15 @@ def run_evaluation(pipe, args):
             save_png(gen_dir / f"{key}.{args.save_format}", out)
             metadata[key] = item["prompt"]
         out_task.mkdir(parents=True, exist_ok=True)
+        ave = float(np.mean(times)) if times else 0.0
+        # reference schema first (src/Step1X-Edit/main.py:125 writes
+        # ave_time_consuming/time_consuming_list; evaluation/metric_merge.py:20
+        # reads them) so the reference eval stack runs unchanged on our
+        # outputs; keep the short aliases for older round artifacts.
         json.dump({"num_item": len(times),
-                   "ave": float(np.mean(times)) if times else 0.0,
+                   "ave_time_consuming": ave,
+                   "time_consuming_list": times,
+                   "ave": ave,
                    "list": times},
                   open(out_task / "time_consuming.json", "w"), indent=2)
         json.dump(metadata, open(out_task / "metadata.json", "w"), indent=2)

@@ -31,11 +31,25 @@ def _read_metric_csv(path: Path) -> dict | None:
 
 
 def _read_times(path: Path) -> dict | None:
+    """Read a time_consuming.json in EITHER schema: the reference's
+    (ave_time_consuming/time_consuming_list, src/Step1X-Edit/main.py:125)
+    or this repo's short aliases (ave/list).  A file in neither schema is
+    an ERROR, never a silent latency of 0.0."""
     if not path.exists():
         return None
     d = json.load(open(path))
-    return {"n": d.get("num_item", len(d.get("list", []))),
-            "ave": d.get("ave", float(np.mean(d["list"])) if d.get("list") else 0.0)}
+    lst = d.get("time_consuming_list", d.get("list"))
+    ave = d.get("ave_time_consuming", d.get("ave"))
+    if ave is None and lst:
+        ave = float(np.mean(lst))
+    if ave is None:
+        raise ValueError(
+            f"{path}: no ave_time_consuming/ave or time_consuming_list/list "
+            f"key (found {sorted(d)}); refusing to fabricate latency 0.0")
+    n = d.get("num_item", len(lst) if lst is not None else None)
+    if n is None:
+        raise ValueError(f"{path}: no num_item or timing list to count")
+    return {"n": n, "ave": float(ave)}
 
 
 def merge_direction(direction: str, is_pretrain: bool = False) -> str:

@@ -94,6 +94,13 @@ def test_cli_evaluation_mode(tiny_cli, tmp_path):
     assert (out_task / "generation" / "k0.png").exists()
     timing = json.load(open(out_task / "time_consuming.json"))
     assert timing["num_item"] == 2 and len(timing["list"]) == 2
+    # transcription of the reference merger's read
+    # (evaluation/metric_merge.py:20-25): it indexes num_item and
+    # ave_time_consuming directly — our output must satisfy it unchanged
+    num_prompt, ave_latency = timing["num_item"], timing["ave_time_consuming"]
+    assert num_prompt == 2
+    assert ave_latency == pytest.approx(
+        np.mean(timing["time_consuming_list"]))
     meta = json.load(open(out_task / "metadata.json"))
     assert meta["k1"] == "edit 1"
 

@@ -82,6 +82,29 @@ def test_metric_csv_and_merge(tmp_path):
     assert "PSNR:" in text and "Latency: 1.5000" in text and "Prompts: 4" in text
 
 
+def test_merge_reads_reference_schema(tmp_path):
+    """A time_consuming.json written by the REFERENCE CLI
+    (src/Step1X-Edit/main.py:125: num_item/ave_time_consuming/
+    time_consuming_list) must merge to the correct latency, not 0.0."""
+    d = tmp_path / "ref" / "TE"
+    d.mkdir(parents=True)
+    json.dump({"num_item": 3, "ave_time_consuming": 2.0,
+               "time_consuming_list": [1.5, 2.0, 2.5]},
+              open(d / "time_consuming.json", "w"))
+    text = merge.merge_direction(str(tmp_path / "ref"), is_pretrain=True)
+    assert "Latency: 2.0000" in text and "Prompts: 3" in text
+
+
+def test_merge_errors_on_unknown_timing_schema(tmp_path):
+    """Neither schema present -> hard error, never a fabricated 0.0."""
+    d = tmp_path / "bad" / "TE"
+    d.mkdir(parents=True)
+    json.dump({"n": 1, "mean_seconds": 9.9},
+              open(d / "time_consuming.json", "w"))
+    with pytest.raises(ValueError, match="refusing to fabricate"):
+        merge.merge_direction(str(tmp_path / "bad"))
+
+
 def test_viescore_parse_and_dryrun():
     assert viescore.parse_scores('{"score": [7, 8.5], "reasoning": "x"}') == [7.0, 8.5]
     s = viescore.VIEScore(viescore.DryRunBackbone())
