@@ -26,6 +26,11 @@ def synth_state_from_params(params, cfg):
     if cfg.pooled_dim:
         put_lin("time_text_embed.text_embedder.linear_1", params["vector_in"]["in"])
         put_lin("time_text_embed.text_embedder.linear_2", params["vector_in"]["out"])
+    if cfg.guidance_embed:
+        put_lin("time_text_embed.guidance_embedder.linear_1",
+                params["guidance_in"]["in"])
+        put_lin("time_text_embed.guidance_embedder.linear_2",
+                params["guidance_in"]["out"])
     if getattr(cfg, "txt_norm", False):
         state["txt_norm.weight"] = np.asarray(
             params["txt_norm"]["scale"], np.float32)
