@@ -37,6 +37,89 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+# ---------------------------------------------------------------------------
+# TPU-tunnel outage resilience (VERDICT r3 weak #1): the remote axon tunnel
+# has documented multi-minute (sometimes multi-hour) outages in which backend
+# init or any execution hangs forever — a bare run then loses the round's
+# headline artifact to rc!=0.  Probe cheaply (HTTP endpoint first, then a
+# tiny device execution IN A SUBPROCESS so a hang can be timed out), with
+# linear backoff, bounded total budget; on a dead backend emit the normal
+# JSON schema with "outage": true and exit 0.
+# ---------------------------------------------------------------------------
+
+AXON_COMPILE_ENDPOINT = "http://127.0.0.1:8093/"
+
+
+def _endpoint_answers(timeout_s: float = 5.0) -> bool:
+    """True if the remote-compile endpoint speaks HTTP at all (any status).
+    http=000-equivalent (connection refused/timeout) is a dark tunnel."""
+    import urllib.error
+    import urllib.request
+    try:
+        urllib.request.urlopen(AXON_COMPILE_ENDPOINT, timeout=timeout_s)
+        return True
+    except urllib.error.HTTPError:
+        return True  # an HTTP status IS an answer
+    except Exception:
+        return False
+
+
+def _device_exec_ok(timeout_s: float = 120.0) -> bool:
+    """Run a trivial device program in a SUBPROCESS with a hard timeout
+    (in-process backend init can hang forever during an outage and is
+    unrecoverable once wedged)."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jnp.sum(jnp.ones(8))))")
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return p.returncode == 0 and b"8.0" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_backend(total_budget_s: float = 300.0) -> bool:
+    """Bounded probe-retry: returns True once the backend executes, False
+    when the budget is exhausted.  Non-axon environments (CPU tests) skip
+    straight to True."""
+    import os
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True
+    deadline = time.monotonic() + total_budget_s
+    attempt = 0
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        if _endpoint_answers():
+            if _device_exec_ok(timeout_s=min(120.0, max(10.0, remaining))):
+                return True
+            log("endpoint up but device execution failed/hung; retrying")
+        else:
+            log("remote-compile endpoint dark (http=000 equivalent)")
+        attempt += 1
+        sleep_s = min(15.0 * attempt, max(0.0, deadline - time.monotonic()))
+        if sleep_s <= 0:
+            return False
+        log(f"backend probe {attempt} failed; backing off {sleep_s:.0f}s "
+            f"({deadline - time.monotonic():.0f}s budget left)")
+        time.sleep(sleep_s)
+
+
+def emit_outage_json():
+    print(json.dumps({
+        "metric": "end-to-end edit speedup vs dense 28-step denoise "
+                  "(adaptive partition)",
+        "value": 0.0,
+        "unit": "x",
+        "vs_baseline": 0.0,
+        "outage": True,
+        "note": "TPU tunnel/backend unavailable for the whole probe budget; "
+                "see BENCH_r02/FULLSIZE*.json for standing hardware numbers",
+    }))
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
@@ -48,6 +131,9 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def main():
+    if not wait_for_backend():
+        emit_outage_json()
+        return
     import jax
     import jax.numpy as jnp
     try:  # persistent compile cache across driver runs

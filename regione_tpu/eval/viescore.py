@@ -313,9 +313,10 @@ def make_backbone(name: str, key_path: str | None = None,
         return OpenAIBackbone(key_path, model_name or default)
     if name == "gemini":
         key = open(key_path).read().split()[0] if key_path else None
-        mn = (model_name if model_name and model_name.startswith("gemini")
-              else "gemini-1.5-pro")
-        return GeminiBackbone(api_key=key, model_name=mn)
+        # honor ANY explicit --model_name (e.g. "models/gemini-1.5-pro",
+        # "tunedModels/..."); never silently substitute the default
+        return GeminiBackbone(api_key=key,
+                              model_name=model_name or "gemini-1.5-pro")
     if name == "minicpmv":
         return MiniCPMVBackbone(
             vlm_path or LOCAL_JUDGE_DEFAULTS[name], device=device)

@@ -101,6 +101,12 @@ def linear4(p, x):
     int4 buys FIT (single-chip residency for the 20B Qwen), not speed."""
     from regione_tpu.ops.quant import unpack_int4
     pk, scale4 = p["w_qp"], p["scale4"]
+    # stacked [L, in/2, out] leaves are consumed per-layer under lax.scan;
+    # dq() below reshapes assuming a single layer, so reject lead axes
+    # loudly instead of silently folding them into the group axis
+    assert pk.ndim == 2, (
+        f"linear4 expects a per-layer [in/2, out] packed weight, got "
+        f"{pk.shape}; index the stacked layer axis (lax.scan xs) first")
     half, d_out = pk.shape[-2], pk.shape[-1]
     g = scale4.shape[-2]
     lo, hi = unpack_int4(pk)

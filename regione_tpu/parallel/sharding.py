@@ -48,11 +48,13 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
 # `w_qp`/`scale4` are the nibble-packed int4 forms (ops.quant): w_qp is
 # [.., in/2, out] and scale4 [.., G, out].  Column-parallel layers shard
 # both on the OUT axis (same as w_q/scale).  Row-parallel layers shard
-# only w_qp on the packed-row axis; scale4 stays replicated — its group
-# axis interleaves lo/hi halves of the SAME packed rows, so it does not
-# distribute like the packed-row axis, and at w/128 bytes it is too small
-# to matter (GSPMD slices it locally).  int4 exists for single-chip FIT;
-# TP rows run int8.
+# only w_qp on the packed-row axis; scale4 stays replicated because its
+# group axis follows WHOLE-TENSOR group order (the first G/2 groups scale
+# the lo-nibble input half, the last G/2 the hi half — ops.quant
+# quantize_linear4), so a packed-row shard boundary does not land on a
+# whole-group boundary in that order; and at ~w/128 bytes the leaf is too
+# small to matter (GSPMD slices it locally).  int4 exists for single-chip
+# FIT; TP rows run int8.
 _RULES: list[tuple[str, P]] = [
     # column-parallel (shard output features)
     (r"(img_attn|txt_attn)/(q|k|v)/(w|w_q|scale|w_qp|scale4)$",

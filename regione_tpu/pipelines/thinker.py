@@ -56,6 +56,9 @@ def _lenient_scores(reply: str) -> list[float] | None:
     score only reorders retry candidates, so leniency beats a 0.0 demotion."""
     import re
     txt = re.sub(r"\b0\s*(?:-|to)\s*10\b", "", reply)
+    # "N/10" fractions: keep the numerator, drop the denominator so
+    # "9/10 and 8/10" parses as [9, 8], not [9, 10]
+    txt = re.sub(r"(?<=\d)\s*/\s*10\b", "", txt)
     # standalone numbers: not part of a word/decimal on the left, not
     # followed by more digits (a sentence-ending "9." still counts)
     nums = [float(m) for m in

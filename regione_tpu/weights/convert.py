@@ -272,8 +272,10 @@ def normalize_qwen_keys(state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 def convert_vae(state: dict[str, np.ndarray], vae_cfg, dtype=np.float32) -> dict:
     """diffusers AutoencoderKL state dict -> models.vae pytree.
     torch conv weight [out, in, kh, kw] -> [kh, kw, in, out].
-    Asserts every source tensor is consumed (quant/post_quant conv are the
-    only expected extras; they are identity-foldable and ignored when 1x1)."""
+    Asserts every source tensor is consumed — including quant/post_quant
+    convs: the flux-family AutoencoderKL has none, so a checkpoint carrying
+    them is a different architecture and is REJECTED (not silently dropped;
+    see the error text below)."""
     if not isinstance(state, TrackingState):
         state = TrackingState(state)
 
