@@ -9,6 +9,12 @@ Usage:
   python scripts/profile_steps.py --preset step1x-edit:dev --grid 64
   python scripts/profile_steps.py --preset step1x-edit --grid 44 --int8 \
       --cache-int8
+  python scripts/profile_steps.py --preset qwen-image-edit --grid 48 \
+      --t-txt 512 --int4 --cache-int8 --cap 640   # the FULLSIZE_QWEN60_768 row
+
+Step counts in the budget come from the preset's ACTUAL StepPlan (backend
+gamma + defaults), so the estimate is per-backend exact — e.g. the Qwen
+gamma admits only 5 AVD reuses (14 rags computes) vs Step1X's 14.
 """
 
 from __future__ import annotations
@@ -33,6 +39,9 @@ def main():
     ap.add_argument("--cap", type=int, default=None,
                     help="RAGS capacity (default: quarter of grid^2)")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--int4", action="store_true",
+                    help="nibble-packed int4 weights (+int4 mods), the "
+                         "single-chip 20B format")
     ap.add_argument("--cache-int8", action="store_true")
     ap.add_argument("--act-int8", action="store_true",
                     help="W8A8: dynamic activation quant onto the int8 MXU")
@@ -83,11 +92,13 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts), state
 
-    from regione_tpu.core.config import RegionEParams
+    from regione_tpu.core.config import DEFAULT_PARAMS, RegionEParams
     from regione_tpu.models.mmdit import init_cache, init_mmdit_jit
     from regione_tpu.models.presets import get_config
     from regione_tpu.ops.quant import init_quantized
     from regione_tpu.pipelines.base import EditInputs
+    from regione_tpu.pipelines.flux_kontext import FluxKontextPipeline
+    from regione_tpu.pipelines.qwen_image_edit import QwenImageEditPipeline
     from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
 
     GRID, T_TXT = args.grid, args.t_txt
@@ -99,10 +110,22 @@ def main():
     if args.act_int8:
         cfg = dataclasses.replace(cfg, act_int8=True)
         assert args.int8, "--act-int8 requires --int8 weights"
-    params = (init_quantized(jax.random.PRNGKey(0), cfg, quantize_mods=True)
-              if args.int8 else init_mmdit_jit(jax.random.PRNGKey(0), cfg))
-    re = RegionEParams().replace(threshold=0.88, cache_threshold=0.02)
-    pipe = Step1XEditPipeline(cfg, params, re)
+    if args.int4:
+        params = init_quantized(jax.random.PRNGKey(0), cfg, bits=4,
+                                quantize_mods=True, int4_mods=True)
+    elif args.int8:
+        params = init_quantized(jax.random.PRNGKey(0), cfg,
+                                quantize_mods=True)
+    else:
+        params = init_mmdit_jit(jax.random.PRNGKey(0), cfg)
+    backend = args.preset.split(":")[0]
+    re = DEFAULT_PARAMS.get(backend,
+                            RegionEParams().replace(threshold=0.88,
+                                                    cache_threshold=0.02))
+    pipe_cls = {"flux-kontext": FluxKontextPipeline,
+                "qwen-image-edit": QwenImageEditPipeline}.get(
+        backend, Step1XEditPipeline)
+    pipe = pipe_cls(cfg, params, re)
 
     rng = np.random.default_rng(0)
     s = GRID * GRID
@@ -115,8 +138,10 @@ def main():
         cond_latent=jnp.asarray(rng.standard_normal((1, s, cfg.in_channels)),
                                 jnp.float32),
         rope_img=rope_img, rope_txt=rope_txt,
-        pooled=jnp.asarray(rng.standard_normal((2, cfg.pooled_dim)),
-                           cfg.dtype),
+        pooled=(jnp.asarray(rng.standard_normal((2, cfg.pooled_dim)),
+                            cfg.dtype) if cfg.pooled_dim else None),
+        guidance=(jnp.full((2,), 2.5, jnp.float32)
+                  if cfg.guidance_embed else None),
         extra={"params": params, "s_noise": s},
     )
     cache = init_cache(cfg, 2, 2 * s, T_TXT)
@@ -152,18 +177,27 @@ def main():
     print(f"[profile] rags forward (cap={cap}) {t_rags*1e3:7.1f} ms",
           file=sys.stderr)
 
-    # theoretical per-step budget at the default 28-step plan:
-    # 5 warm dense + 1 partition write + 1 refresh write + 2 SMS dense,
-    # 14 reuse (free), 5 rags computes  (defaults: warmup 6, post 2,
-    # refresh [16]); see core/schedule.py
-    n_dense, n_write, n_rags = 7, 2, 5
+    # per-step budget from the preset's ACTUAL plan (backend gamma decides
+    # the AVD reuse/rags split; core/schedule.py)
+    plan = pipe.sampler_for(GRID, GRID, T_TXT, batch_cache=2).plan
+    n_write = sum(1 for sp in plan if sp.kv_phase == "cache_write")
+    n_reuse = sum(1 for sp in plan if sp.reuse)
+    n_rags = sum(1 for sp in plan if sp.is_rags and not sp.reuse)
+    n_dense = sum(1 for sp in plan
+                  if sp.dense and sp.kv_phase != "cache_write")
+    steps = len(plan)
+    assert n_dense + n_write + n_rags + n_reuse == steps, (
+        n_dense, n_write, n_rags, n_reuse, steps)
     est = n_dense * t_dense + n_write * t_write + n_rags * t_rags
-    full = 28 * t_dense
+    full = steps * t_dense
     print(json.dumps({
+        "preset": args.preset,
         "dense_ms": round(t_dense * 1e3, 1),
         "write_ms": round(t_write * 1e3, 1),
         "rags_ms": round(t_rags * 1e3, 1),
         "rags_over_dense": round(t_rags / t_dense, 3),
+        "plan_counts": {"dense": n_dense, "write": n_write,
+                        "rags": n_rags, "reuse": n_reuse},
         "est_regione_s": round(est, 3),
         "est_dense_s": round(full, 3),
         "est_ratio": round(full / est, 3),

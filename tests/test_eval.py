@@ -226,9 +226,13 @@ def test_make_backbone_dispatch(monkeypatch, tmp_path):
     assert b.model_name == "gpt-4.1"
     b = viescore.make_backbone("gpt4v", key_path=str(key))
     assert b.model_name == "gpt-4-vision-preview"
+    # explicit model ids pass through verbatim (ADVICE r3: never silently
+    # substitute the default — "models/..." and "tunedModels/..." are valid)
     b = viescore.make_backbone("gemini", key_path=str(key),
-                               model_name="gpt-4.1")  # non-gemini id ignored
-    assert b.model_name == "gemini-1.5-pro" and b.api_key == "sk-abc"
+                               model_name="models/gemini-1.5-pro")
+    assert b.model_name == "models/gemini-1.5-pro" and b.api_key == "sk-abc"
+    b = viescore.make_backbone("gemini", key_path=str(key))
+    assert b.model_name == "gemini-1.5-pro"  # default only when unset
 
     for name in ("idefics2", "mantis", "qwen25vl"):
         viescore.make_backbone(name)
