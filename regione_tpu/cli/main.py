@@ -107,7 +107,19 @@ def build_pipeline(args):
     if getattr(args, "act_int8", False):
         import dataclasses
         cfg = dataclasses.replace(cfg, act_int8=True)
-    pipe = classes[backend](cfg, params, re)
+    # --guidance_scale maps the way the reference drivers use it: FLUX's
+    # distilled guidance embed (src/FluxKontext/main.py:56) vs true CFG for
+    # the batch-CFG backends (src/Step1X-Edit/main.py:19 default 6.0,
+    # src/Qwen-Image/main.py:21 default 4.0); None keeps the per-backend
+    # constructor default, which IS the reference default.
+    kw = {}
+    gs = getattr(args, "guidance_scale", None)
+    if gs is not None:
+        if backend == "flux-kontext":
+            kw["guidance_scale"] = gs
+        else:
+            kw["true_cfg_scale"] = gs
+    pipe = classes[backend](cfg, params, re, **kw)
     pipe.attach_vae(vae_cfg, vae_params)
     pipe.attach_text_encoder(encoder)
     pipe._regione_enabled = args.use_regione
@@ -225,6 +237,10 @@ def main(argv=None):
     ap.add_argument("--erosion_dilation", type=lambda s: s != "False",
                     default=True)
     ap.add_argument("--seed", type=int, default=110)
+    ap.add_argument("--guidance_scale", type=float, default=None,
+                    help="reference drivers' knob: FLUX guidance embed / "
+                         "true CFG scale elsewhere (default: per-backend "
+                         "reference value)")
     ap.add_argument("--size_level", type=int, default=None)
     ap.add_argument("--image_path", default=None)
     ap.add_argument("--prompt", default=None)

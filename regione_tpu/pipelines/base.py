@@ -85,6 +85,11 @@ class EditPipelineBase:
     backend: str = "generic"
     uses_batch_cfg: bool = False   # duplicate inputs on batch axis for CFG
     cond_axis0: int = 1            # rope axis-0 tag for condition tokens
+    # uncond text when the caller passes none.  Step1X's reference __call__
+    # resolves to "" when an image is present (inplace.py:230); the Qwen
+    # family drivers pass " " — a single space — explicitly
+    # (src/Qwen-Image/main.py:59, src/Qwen-Image-Edit-2509/main.py:60)
+    default_negative_prompt: str = ""
 
     def __init__(
         self,
@@ -340,7 +345,8 @@ class EditPipelineBase:
         z = vm.normalize_latents(self.vae_cfg, z)
         return V.pack_latents(z)
 
-    def prepare_inputs(self, image, prompt: str, negative_prompt: str = "",
+    def prepare_inputs(self, image, prompt: str,
+                       negative_prompt: str | None = None,
                        width: int | None = None, height: int | None = None,
                        guidance_scale: float | None = None):
         """Encode image(s) + prompts, build rope tables and the ctx pytree.
@@ -350,6 +356,8 @@ class EditPipelineBase:
         partition reference — its latent rows come first in the condition
         sequence); later images are extra references, each on its own
         rope axis-0 tag."""
+        if negative_prompt is None:
+            negative_prompt = self.default_negative_prompt
         images = list(image) if isinstance(image, (list, tuple)) else [image]
         arr = np.asarray(images[0])
         h0, w0 = arr.shape[:2]
@@ -425,7 +433,7 @@ class EditPipelineBase:
                          txt_bias=jnp.asarray(bias))
         return ctx, (width, height, grid_h, grid_w)
 
-    def __call__(self, image, prompt: str, negative_prompt: str = "",
+    def __call__(self, image, prompt: str, negative_prompt: str | None = None,
                  width: int | None = None, height: int | None = None,
                  seed: int = 0, guidance_scale: float | None = None,
                  output_type: str = "np"):

@@ -46,6 +46,9 @@ def calculate_dimensions(target_area: int, ratio: float, multiple: int = 32
 class QwenImageEditPipeline(EditPipelineBase):
     backend = "qwen-image-edit"
     uses_batch_cfg = True
+    # the reference Qwen drivers pass a single-space uncond explicitly
+    # (src/Qwen-Image/main.py:59, src/Qwen-Image-Edit-2509/main.py:60)
+    default_negative_prompt = " "
 
     def __init__(self, model_cfg, params, re_params=None, gamma=None,
                  true_cfg_scale: float = 4.0):

@@ -30,7 +30,7 @@ import numpy as np
 class EditRequest:
     image: Any                    # array/PIL or list for multi-reference
     prompt: str
-    negative_prompt: str = ""
+    negative_prompt: str | None = None  # None -> backend default uncond
     width: int | None = None
     height: int | None = None
     seed: int = 0

@@ -132,6 +132,26 @@ def test_plus_condition_images_resized_to_384_area():
             assert abs(cw * ch - 384 * 384) / (384 * 384) < 0.25
 
 
+def test_default_negative_prompt_per_backend():
+    """Qwen family ships a single-space uncond (reference drivers pass
+    negative_prompt=' ' explicitly); Step1X resolves to '' when an image
+    is present.  Explicit negative prompts always win."""
+    qp, qenc = make_pipe(QwenImageEditPipeline, "tiny-qwen",
+                         true_cfg_scale=4.0)
+    qp.prepare_inputs(IMG, "edit", width=32, height=32)
+    assert [c[0] for c in qenc.calls] == ["edit", " "]
+
+    sp, senc = make_pipe(Step1XEditPipeline, "tiny", true_cfg_scale=4.0)
+    sp.prepare_inputs(IMG, "edit", width=32, height=32)
+    assert [c[0] for c in senc.calls] == ["edit", ""]
+
+    qp2, qenc2 = make_pipe(QwenImageEditPipeline, "tiny-qwen",
+                           true_cfg_scale=4.0)
+    qp2.prepare_inputs(IMG, "edit", negative_prompt="blurry",
+                       width=32, height=32)
+    assert [c[0] for c in qenc2.calls] == ["edit", "blurry"]
+
+
 def test_plus_ref_vae_size_uses_per_image_area_not_target():
     pipe, _ = make_pipe(QwenImageEditPlusPipeline, "tiny-qwen",
                         true_cfg_scale=4.0)
