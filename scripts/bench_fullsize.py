@@ -102,6 +102,12 @@ def main():
                          "(21 steps = 53 s is fine), so big-grid rows "
                          "split the baseline into bounded chunks "
                          "(numerically identical)")
+    ap.add_argument("--cap-granularity", type=int, default=None,
+                    help="override RegionEParams.capacity_granularity "
+                         "(default 128): smaller buckets cut rags padding "
+                         "(e.g. Qwen@768 edited 529 -> cap 640 at 128 vs "
+                         "576 at 64) at the cost of more possible "
+                         "capacity buckets to compile")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -187,6 +193,8 @@ def main():
         f"{param_count(params)/1e9:.2f}B leaves resident")
 
     re = DEFAULT_PARAMS[preset]
+    if args.cap_granularity:
+        re = re.replace(capacity_granularity=args.cap_granularity)
     if is_flux:
         pipe = FluxKontextPipeline(cfg, params, re, guidance_scale=2.5)
     elif is_qwen:
