@@ -86,6 +86,8 @@ def wait_for_backend(total_budget_s: float = 300.0) -> bool:
     import os
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return True
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True  # explicitly forced off the TPU; nothing to probe
     deadline = time.monotonic() + total_budget_s
     attempt = 0
     while True:
