@@ -101,10 +101,14 @@ class EditService:
             (ctx, lat0, gh, gw), prep_s = self._prepare(req)
             prepped.append((req, ctx, lat0, gh, gw, prep_s))
         results: dict[int, EditResult] = {}
-        # group by geometry
+        # group by geometry — incl. the condition-sequence length, which
+        # differs across multi-reference (Plus) requests with different
+        # reference counts/aspects
         groups: dict[tuple, list[int]] = {}
         for i, (_, ctx, lat0, gh, gw, _) in enumerate(prepped):
-            groups.setdefault((gh, gw, ctx.txt.shape[-2]), []).append(i)
+            groups.setdefault(
+                (gh, gw, ctx.txt.shape[-2], ctx.cond_latent.shape[-2]),
+                []).append(i)
         for key, idxs in groups.items():
             gh, gw = key[0], key[1]
             for lo in range(0, len(idxs), max_batch):
