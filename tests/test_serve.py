@@ -63,3 +63,41 @@ def test_edit_service_batched_grouping():
             r.latency_s * r.group_size)
     assert [r.group_size for r in results] == [2, 2, 1]
     assert results[0].group_latency_s == results[1].group_latency_s
+
+
+def test_batched_grouping_splits_multiref_condition_lengths():
+    """Requests whose condition sequences differ (multi-reference vs
+    single-image) must land in SEPARATE vmapped groups — stacking them
+    would fail on the cond_latent axis."""
+    from regione_tpu.core.config import RegionEParams
+    from regione_tpu.models import vae as V
+    from regione_tpu.models.mmdit import init_mmdit
+    from regione_tpu.models.presets import get_config
+    from regione_tpu.models.text_encoders import MockTextEncoder
+    from regione_tpu.pipelines.qwen_image_edit import QwenImageEditPlusPipeline
+    from regione_tpu.pipelines.serve import EditRequest, EditService
+    import jax
+
+    cfg = get_config("tiny-qwen")
+    re = RegionEParams(threshold=0.0, erosion_dilation=False,
+                       capacity_granularity=8)
+    pipe = QwenImageEditPlusPipeline(
+        cfg, init_mmdit(jax.random.PRNGKey(0), cfg), re, true_cfg_scale=4.0)
+    vc = V.VAEConfig(block_out_channels=(8, 16), latent_channels=2,
+                     norm_num_groups=4, layers_per_block=1)
+    pipe.attach_vae(vc, V.init_vae(jax.random.PRNGKey(1), vc))
+    pipe.attach_text_encoder(MockTextEncoder(cfg.txt_in_dim, None,
+                                             max_length=8))
+    pipe.vae_image_area = 32 * 32
+    pipe.condition_image_area = 32 * 32
+    rng = np.random.default_rng(0)
+    img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    ref = (rng.random((24, 40, 3)) * 255).astype(np.uint8)
+    svc = EditService(pipe)
+    reqs = [EditRequest(image=[img, ref], prompt="a", width=32, height=32),
+            EditRequest(image=[img, ref], prompt="b", width=32, height=32),
+            EditRequest(image=img, prompt="c", width=32, height=32)]
+    res = svc.run_batched(reqs, max_batch=4)
+    assert [r.group_size for r in res] == [2, 2, 1]
+    for r in res:
+        assert r.image.shape == (32, 32, 3) and r.image.dtype == np.uint8
