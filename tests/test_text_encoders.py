@@ -251,13 +251,15 @@ class _FakeInputs(dict):
 
 
 class _FakeProcessor:
-    """Tokenizes by whitespace; records the formatted text."""
+    """Tokenizes by whitespace; records the formatted text and images."""
 
     def __init__(self):
         self.last_text = None
+        self.last_images = None
 
     def __call__(self, text, images=None, padding=True, return_tensors="pt"):
         self.last_text = text[0]
+        self.last_images = images
         n = len(text[0].split())
         return _FakeInputs(
             input_ids=np.arange(n)[None],
@@ -300,3 +302,46 @@ def test_qwen_encoder_end_to_end_mechanics():
     # first kept hidden row must be the one at index drop_idx
     assert float(emb[0, 0, 0]) == 3.0
     assert "turn summer into winter" in enc.processor.last_text
+
+
+def test_qwen_encoder_image_path_reaches_processor():
+    """encode(prompt, image=...) must hand the image(s) to the processor
+    (the reference's encode_prompt vision path, Step1XEdit/inplace.py:235,
+    QwenImageEdit/inplace.py:239) — the path pipelines now exercise for
+    every non-FLUX backend."""
+    enc = QwenVLPromptEncoder.__new__(QwenVLPromptEncoder)
+    enc.torch = _FakeTorch()
+    enc.variant = "qwen-image-edit"
+    enc.template = QWEN_EDIT_TEMPLATE
+    enc.drop_idx = 3
+    enc.max_length = 1024
+    enc.device = "cpu"
+    enc.processor = _FakeProcessor()
+    enc.model = _FakeVLModel()
+    img = np.zeros((32, 32, 3), np.uint8)
+    enc.encode("add a hat", image=[img])
+    assert enc.processor.last_images is not None
+    assert len(enc.processor.last_images) == 1
+    assert enc.processor.last_images[0] is img
+    # text-only call passes NO images kwarg content
+    enc.encode("add a hat")
+    assert enc.processor.last_images is None
+
+
+def test_qwen_plus_encoder_multi_image_template_and_images():
+    """Plus variant: N images -> N "Picture i:" slots AND all N images to
+    the processor (QwenImageEditPlus/inplace.py:260-278)."""
+    enc = QwenVLPromptEncoder.__new__(QwenVLPromptEncoder)
+    enc.torch = _FakeTorch()
+    enc.variant = "qwen-image-edit-plus"
+    enc.template = QWEN_EDIT_PLUS_TEMPLATE
+    enc.drop_idx = 3
+    enc.max_length = 1024
+    enc.device = "cpu"
+    enc.processor = _FakeProcessor()
+    enc.model = _FakeVLModel()
+    imgs = [np.zeros((8, 8, 3), np.uint8), np.ones((8, 8, 3), np.uint8)]
+    enc.encode("merge them", image=imgs)
+    assert len(enc.processor.last_images) == 2
+    assert "Picture 1:" in enc.processor.last_text
+    assert "Picture 2:" in enc.processor.last_text
