@@ -7,8 +7,10 @@ mismatch, and writes per-task metric.csv with an AVERAGE row.
 PSNR/SSIM are implemented directly on numpy (dtype-faithful to
 skimage.metrics defaults for uint8 inputs: data_range 255, SSIM with
 gaussian_weights=False, 7x7 uniform window, K1=0.01, K2=0.03).  LPIPS
-(AlexNet) requires the `lpips` torch package + weights; it is gated and
-reported as NaN when unavailable (this container cannot download weights).
+(AlexNet) resolves in order: the `lpips` torch package if installed; else
+the from-scratch JAX implementation (eval/lpips_jax.py) with converted
+weights pointed to by $REGIONE_LPIPS_WEIGHTS; else NaN (this container
+cannot download the pretrained weight bytes).
 """
 
 from __future__ import annotations
@@ -81,11 +83,13 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0,
 
 
 _LPIPS_MODEL = None
+_LPIPS_JAX_PARAMS = None
 
 
 def lpips_distance(a: np.ndarray, b: np.ndarray) -> float:
-    """LPIPS(alex) if the lpips package + weights are available, else NaN."""
-    global _LPIPS_MODEL
+    """LPIPS(alex): lpips package -> JAX impl ($REGIONE_LPIPS_WEIGHTS
+    .npz from eval.lpips_jax.save_lpips_npz) -> NaN."""
+    global _LPIPS_MODEL, _LPIPS_JAX_PARAMS
     try:
         import torch
         import lpips  # type: ignore
@@ -98,7 +102,17 @@ def lpips_distance(a: np.ndarray, b: np.ndarray) -> float:
         with torch.no_grad():
             return float(_LPIPS_MODEL(ta, tb).item())
     except Exception:
-        return float("nan")
+        pass
+    weights = os.environ.get("REGIONE_LPIPS_WEIGHTS")
+    if weights and os.path.exists(weights):
+        try:
+            from .lpips_jax import load_lpips_npz, lpips_pair_uint8
+            if _LPIPS_JAX_PARAMS is None:
+                _LPIPS_JAX_PARAMS = load_lpips_npz(weights)
+            return lpips_pair_uint8(_LPIPS_JAX_PARAMS, a, b)
+        except Exception:
+            return float("nan")
+    return float("nan")
 
 
 def _load(path: Path) -> np.ndarray:
