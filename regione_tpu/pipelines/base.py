@@ -483,6 +483,20 @@ class EditPipelineBase:
         else:
             dp_sharding = None
         c0 = ctx_list[0]
+        # the whole group rides c0's rope tables — equal-length condition
+        # sequences with different grid decompositions (Plus multi-ref)
+        # would silently denoise with wrong positional ids otherwise
+        ref_rope = jax.tree_util.tree_leaves((c0.rope_img, c0.rope_txt))
+        for c in ctx_list[1:]:
+            leaves = jax.tree_util.tree_leaves((c.rope_img, c.rope_txt))
+            if len(leaves) != len(ref_rope) or not all(
+                    np.array_equal(np.asarray(a), np.asarray(b))
+                    for a, b in zip(leaves, ref_rope)):
+                raise ValueError(
+                    "edit_latents_batch: requests with differing rope "
+                    "tables (condition grid decomposition / tags) cannot "
+                    "share a batch — group them by rope content first "
+                    "(EditService.run_batched does)")
         extra = dict(c0.extra)
         extra.setdefault("params", self.params)
         extra.setdefault("s_noise", latents_list[0].shape[1])

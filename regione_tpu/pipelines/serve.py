@@ -26,6 +26,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _rope_digest(ctx) -> str:
+    """Content hash of a request's rope tables.  Positional encoding is
+    fully determined by these arrays (grid decomposition, per-ref axis-0
+    tags), so two requests may share a vmapped batch iff digests match."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for leaf in jax.tree_util.tree_leaves((ctx.rope_img, ctx.rope_txt)):
+        a = np.asarray(leaf)
+        h.update(str((a.shape, a.dtype)).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
 @dataclasses.dataclass
 class EditRequest:
     image: Any                    # array/PIL or list for multi-reference
@@ -101,13 +115,17 @@ class EditService:
             (ctx, lat0, gh, gw), prep_s = self._prepare(req)
             prepped.append((req, ctx, lat0, gh, gw, prep_s))
         results: dict[int, EditResult] = {}
-        # group by geometry — incl. the condition-sequence length, which
-        # differs across multi-reference (Plus) requests with different
-        # reference counts/aspects
+        # group by geometry — incl. the condition-sequence length AND the
+        # rope-table content.  edit_latents_batch reuses the first
+        # request's rope tables for the whole group, and equal-LENGTH
+        # condition sequences can still decompose into different grids
+        # (e.g. Plus refs with transposed aspects, or 2 refs vs 1 whose
+        # token totals coincide): same shapes, different positional ids.
         groups: dict[tuple, list[int]] = {}
         for i, (_, ctx, lat0, gh, gw, _) in enumerate(prepped):
             groups.setdefault(
-                (gh, gw, ctx.txt.shape[-2], ctx.cond_latent.shape[-2]),
+                (gh, gw, ctx.txt.shape[-2], ctx.cond_latent.shape[-2],
+                 _rope_digest(ctx)),
                 []).append(i)
         for key, idxs in groups.items():
             gh, gw = key[0], key[1]

@@ -98,8 +98,10 @@ def main():
     from regione_tpu.ops.quant import init_quantized
     from regione_tpu.pipelines.base import EditInputs
     from regione_tpu.pipelines.flux_kontext import FluxKontextPipeline
-    from regione_tpu.pipelines.qwen_image_edit import QwenImageEditPipeline
-    from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
+    from regione_tpu.pipelines.qwen_image_edit import (
+        QwenImageEditPipeline, QwenImageEditPlusPipeline)
+    from regione_tpu.pipelines.step1x_edit import (
+        Step1XEditPipeline, Step1XEditV1P2Pipeline)
 
     GRID, T_TXT = args.grid, args.t_txt
     cfg = get_config(args.preset)
@@ -122,10 +124,19 @@ def main():
     re = DEFAULT_PARAMS.get(backend,
                             RegionEParams().replace(threshold=0.88,
                                                     cache_threshold=0.02))
-    pipe_cls = {"flux-kontext": FluxKontextPipeline,
-                "qwen-image-edit": QwenImageEditPipeline}.get(
-        backend, Step1XEditPipeline)
-    pipe = pipe_cls(cfg, params, re)
+    # full backend table: the pipeline class selects the gamma table that
+    # drives build_stage_plan, so a fallback here would silently profile
+    # with the wrong plan (Step1X admits ~14 AVD reuses vs Qwen's ~5)
+    pipe_cls = {"step1x-edit": Step1XEditPipeline,
+                "step1x-edit-v1p2": Step1XEditV1P2Pipeline,
+                "flux-kontext": FluxKontextPipeline,
+                "qwen-image-edit": QwenImageEditPipeline,
+                "qwen-image-edit-plus": QwenImageEditPlusPipeline}
+    if backend not in pipe_cls:
+        raise SystemExit(f"unknown backend {backend!r}; expected one of "
+                         f"{sorted(pipe_cls)} (tiny-* presets: pass the "
+                         "matching backend preset instead)")
+    pipe = pipe_cls[backend](cfg, params, re)
 
     rng = np.random.default_rng(0)
     s = GRID * GRID

@@ -101,3 +101,58 @@ def test_batched_grouping_splits_multiref_condition_lengths():
     assert [r.group_size for r in res] == [2, 2, 1]
     for r in res:
         assert r.image.shape == (32, 32, 3) and r.image.dtype == np.uint8
+
+
+def test_batched_grouping_splits_equal_length_different_rope():
+    """Equal-LENGTH condition sequences can still decompose into different
+    grids (transposed-aspect Plus refs): the group key must split on rope
+    CONTENT, not just cond length — the whole group rides the first
+    request's rope tables (pipelines/base.py edit_latents_batch)."""
+    from regione_tpu.core.config import RegionEParams
+    from regione_tpu.models import vae as V
+    from regione_tpu.models.mmdit import init_mmdit
+    from regione_tpu.models.presets import get_config
+    from regione_tpu.models.text_encoders import MockTextEncoder
+    from regione_tpu.pipelines.qwen_image_edit import QwenImageEditPlusPipeline
+    from regione_tpu.pipelines.serve import (EditRequest, EditService,
+                                             _rope_digest)
+    import jax
+
+    cfg = get_config("tiny-qwen")
+    re = RegionEParams(threshold=0.0, erosion_dilation=False,
+                       capacity_granularity=8)
+    pipe = QwenImageEditPlusPipeline(
+        cfg, init_mmdit(jax.random.PRNGKey(0), cfg), re, true_cfg_scale=4.0)
+    vc = V.VAEConfig(block_out_channels=(8, 16), latent_channels=2,
+                     norm_num_groups=4, layers_per_block=1)
+    pipe.attach_vae(vc, V.init_vae(jax.random.PRNGKey(1), vc))
+    pipe.attach_text_encoder(MockTextEncoder(cfg.txt_in_dim, None,
+                                             max_length=8))
+    pipe.vae_image_area = 16 * 64
+    pipe.condition_image_area = 32 * 32
+    rng = np.random.default_rng(0)
+    img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    ref_wide = (rng.random((16, 64, 3)) * 255).astype(np.uint8)
+    ref_tall = np.transpose(ref_wide, (1, 0, 2)).copy()
+    svc = EditService(pipe)
+    reqs = [EditRequest(image=[img, ref_wide], prompt="a",
+                        width=32, height=32),
+            EditRequest(image=[img, ref_tall], prompt="b",
+                        width=32, height=32)]
+
+    # pin the scenario: same cond length, different rope tables
+    (ctx_a, *_), _ = svc._prepare(reqs[0])
+    (ctx_b, *_), _ = svc._prepare(reqs[1])
+    assert ctx_a.cond_latent.shape[-2] == ctx_b.cond_latent.shape[-2]
+    assert _rope_digest(ctx_a) != _rope_digest(ctx_b)
+
+    res = svc.run_batched(reqs, max_batch=4)
+    assert [r.group_size for r in res] == [1, 1]
+    for r in res:
+        assert r.image.shape == (32, 32, 3) and r.image.dtype == np.uint8
+
+    # and the batch entry point itself refuses a mixed group
+    with pytest.raises(ValueError, match="rope"):
+        pipe.edit_latents_batch(
+            [np.zeros((1, 16, cfg.in_channels), np.float32)] * 2,
+            [ctx_a, ctx_b], 4, 4)
