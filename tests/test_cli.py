@@ -184,3 +184,32 @@ def test_cli_w8a8_demo(tmp_path):
     ])
     out = np.asarray(Image.open(tmp_path / "out" / "demo_0.png"))
     assert out.shape == (32, 32, 3) and np.isfinite(out).all()
+
+
+@pytest.mark.parametrize("backend,preset", [
+    ("step1x-edit", "tiny-step1x"),
+    ("step1x-edit-v1p2", "tiny-step1x"),
+    ("flux-kontext", "tiny-flux"),
+    ("qwen-image-edit", "tiny-qwen"),
+    ("qwen-image-edit-plus", "tiny-qwen"),
+])
+def test_cli_all_backends_demo(backend, preset, tmp_path):
+    """Every backend through the REAL build_pipeline (random weights, mock
+    VAE/encoder) end to end — the integration surface the reference covers
+    with its manual per-backend demo runs (SURVEY.md §4.4)."""
+    from PIL import Image
+    from regione_tpu.cli import main as cli
+
+    img = (np.random.default_rng(0).random((64, 64, 3)) * 255
+           ).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "in.png")
+    cli.main([
+        "--backend", backend, "--preset", preset, "--use_regione",
+        "--threshold", "0.0", "--erosion_dilation", "False",
+        "--image_path", str(tmp_path / "in.png"), "--prompt", "test edit",
+        "--output_dir", str(tmp_path / "out"), "--size_level", "64",
+    ])
+    outs = list((tmp_path / "out").glob("demo_0.*"))
+    assert len(outs) == 1, outs
+    arr = np.asarray(Image.open(outs[0]))
+    assert arr.shape == (64, 64, 3) and arr.dtype == np.uint8
