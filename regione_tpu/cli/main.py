@@ -148,6 +148,29 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+def _item_image_prompt(item, img_dir=None):
+    """Resolve (image path, prompt) from a metadata line in EITHER schema:
+    ours ({"image", "prompt"}) or the reference's raw dataset items —
+    demo data.jsonl uses {"key": path-sans-ext, "instruction"}
+    (src/Qwen-Image-Edit-2509/main.py:70,66) and the eval preprocessor
+    dumps items verbatim with images at img/{key}.png
+    (data/preprocess.py:39,43)."""
+    if "image" in item:
+        path = item["image"]
+    elif "key" in item:
+        path = f"{item['key']}.png"
+    else:
+        raise KeyError(f"metadata item has neither 'image' nor 'key': "
+                       f"{sorted(item)}")
+    if img_dir is not None and not os.path.isabs(path):
+        path = str(Path(img_dir) / os.path.basename(path))
+    prompt = item.get("prompt") or item.get("instruction")
+    if prompt is None:
+        raise KeyError(f"metadata item has neither 'prompt' nor "
+                       f"'instruction': {sorted(item)}")
+    return path, prompt
+
+
 def run_demo(pipe, args):
     import jax
     items = [json.loads(l) for l in open(args.data_jsonl)] if args.data_jsonl \
@@ -155,7 +178,8 @@ def run_demo(pipe, args):
     out_dir = Path(args.output_dir)
     times = []
     for i, item in enumerate(items):
-        img = load_image(item["image"])
+        path, item["prompt"] = _item_image_prompt(item)
+        img = load_image(path)
         t0 = time.perf_counter()
         if args.enable_thinking or args.enable_reflection:
             from regione_tpu.pipelines.thinker import edit_with_reflection
@@ -194,17 +218,17 @@ def run_evaluation(pipe, args):
         times, metadata = [], {}
         for line in open(meta_file):
             item = json.loads(line)
-            key = item.get("key") or Path(item["image"]).stem
-            img = load_image(str(task_dir / "img" / item["image"])
-                             if not os.path.isabs(item["image"]) else item["image"])
+            path, prompt = _item_image_prompt(item, img_dir=task_dir / "img")
+            key = item.get("key") or Path(path).stem
+            img = load_image(path)
             t0 = time.perf_counter()
-            out, _ = pipe(img, item["prompt"], seed=args.seed,
+            out, _ = pipe(img, prompt, seed=args.seed,
                           width=args.size_level, height=args.size_level,
                           output_type="uint8")
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
             save_png(gen_dir / f"{key}.{args.save_format}", out)
-            metadata[key] = item["prompt"]
+            metadata[key] = prompt
         out_task.mkdir(parents=True, exist_ok=True)
         ave = float(np.mean(times)) if times else 0.0
         # reference schema first (src/Step1X-Edit/main.py:125 writes

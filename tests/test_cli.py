@@ -213,3 +213,48 @@ def test_cli_all_backends_demo(backend, preset, tmp_path):
     assert len(outs) == 1, outs
     arr = np.asarray(Image.open(outs[0]))
     assert arr.shape == (64, 64, 3) and arr.dtype == np.uint8
+
+
+def test_cli_evaluation_reference_schema(tiny_cli, tmp_path):
+    """A dataset preprocessed by the REFERENCE's data/preprocess.py (raw
+    items: {"key", "instruction"}, image at img/{key}.png — no
+    "image"/"prompt" fields) must run unchanged through our --evaluation
+    mode (drop-in interop, the metadata twin of the time_consuming.json
+    schema fix)."""
+    from PIL import Image
+    task = tmp_path / "bench" / "TE"
+    (task / "img").mkdir(parents=True)
+    with open(task / "metadata.jsonl", "w") as fh:
+        for k in range(2):
+            img = (np.random.default_rng(k).random((32, 32, 3)) * 255
+                   ).astype(np.uint8)
+            Image.fromarray(img).save(task / "img" / f"k{k}.png")
+            fh.write(json.dumps({"key": f"k{k}", "instruction": f"edit {k}",
+                                 "instruction_language": "en"}) + "\n")
+    tiny_cli.main([
+        "--use_regione", "--threshold", "0.0", "--erosion_dilation", "False",
+        "--evaluation", "--eval_dir", str(tmp_path / "bench"),
+        "--output_dir", str(tmp_path / "res"), "--size_level", "32",
+    ])
+    out_task = tmp_path / "res" / "TE"
+    assert (out_task / "generation" / "k0.png").exists()
+    meta = json.load(open(out_task / "metadata.json"))
+    assert meta == {"k0": "edit 0", "k1": "edit 1"}
+
+
+def test_cli_demo_reference_schema(tiny_cli, tmp_path):
+    """Reference demo data.jsonl lines ({"key": path-sans-ext,
+    "instruction"}) run unchanged through --data_jsonl demo mode."""
+    from PIL import Image
+    img = (np.random.default_rng(0).random((32, 32, 3)) * 255
+           ).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "demo_in.png")
+    with open(tmp_path / "data.jsonl", "w") as fh:
+        fh.write(json.dumps({"key": str(tmp_path / "demo_in"),
+                             "instruction": "make it night"}) + "\n")
+    tiny_cli.main([
+        "--use_regione", "--threshold", "0.0", "--erosion_dilation", "False",
+        "--data_jsonl", str(tmp_path / "data.jsonl"),
+        "--output_dir", str(tmp_path / "out"), "--size_level", "32",
+    ])
+    assert (tmp_path / "out" / "demo_0.png").exists()
