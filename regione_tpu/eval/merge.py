@@ -16,17 +16,34 @@ import numpy as np
 
 
 def _read_metric_csv(path: Path) -> dict | None:
+    """Read a metric.csv in EITHER schema: the reference's
+    (`Filename,PSNR,SSIM,LPIPS`, metric_all_task.py:145-178 — also what
+    our writer emits) or this repo's pre-r4 lowercase header.  A file in
+    neither schema is an ERROR, never silently skipped."""
     if not path.exists():
         return None
     rows = list(csv.DictReader(open(path)))
-    data = [r for r in rows if r["file"] != "AVERAGE"]
+    if not rows:
+        return None
+
+    def col(r, *names):
+        for n in names:
+            if n in r:
+                return r[n]
+        raise ValueError(f"{path}: no {'/'.join(names)} column "
+                         f"(found {sorted(rows[0])})")
+
+    data = [r for r in rows if col(r, "Filename", "file") != "AVERAGE"]
     if not data:
         return None
     return {
         "n": len(data),
-        "psnr": float(np.mean([float(r["psnr"]) for r in data])),
-        "ssim": float(np.mean([float(r["ssim"]) for r in data])),
-        "lpips": float(np.nanmean([float(r["lpips"]) for r in data])),
+        "psnr": float(np.mean([float(col(r, "PSNR", "psnr"))
+                               for r in data])),
+        "ssim": float(np.mean([float(col(r, "SSIM", "ssim"))
+                               for r in data])),
+        "lpips": float(np.nanmean([float(col(r, "LPIPS", "lpips"))
+                                   for r in data])),
     }
 
 

@@ -150,11 +150,15 @@ def calculate_image_metrics(folder1: str, folder2: str,
 
 
 def save_results_to_csv(rows: list[dict], out_csv: str):
-    """Per-file rows + AVERAGE row (reference metric_all_task.py:145-178)."""
+    """Per-file rows + AVERAGE row, in the REFERENCE's column schema
+    (`Filename,PSNR,SSIM,LPIPS`, metric_all_task.py:145-178) so the
+    reference's metric_merge.py — which indexes those exact column names
+    on the tail row (metric_merge.py:40-41) — runs unchanged on our
+    outputs."""
     Path(out_csv).parent.mkdir(parents=True, exist_ok=True)
     with open(out_csv, "w", newline="") as fh:
         w = csv.writer(fh)
-        w.writerow(["file", "psnr", "ssim", "lpips"])
+        w.writerow(["Filename", "PSNR", "SSIM", "LPIPS"])
         for r in rows:
             w.writerow([r["file"], f"{r['psnr']:.4f}", f"{r['ssim']:.4f}",
                         f"{r['lpips']:.4f}"])

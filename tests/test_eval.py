@@ -75,11 +75,43 @@ def test_metric_csv_and_merge(tmp_path):
                                 with_lpips=False)
     assert set(res) == {"TE", "CR"}
     rows = list(csv.reader(open(tmp_path / "regione" / "TE" / "metric.csv")))
-    assert rows[0] == ["file", "psnr", "ssim", "lpips"]
+    # reference column schema (metric_all_task.py:145-178): the reference
+    # merger indexes these exact names on the tail row
+    assert rows[0] == ["Filename", "PSNR", "SSIM", "LPIPS"]
     assert rows[-1][0] == "AVERAGE"
+
+    # transcription of the reference merger's read (metric_merge.py:40-41):
+    # pandas tail(1) -> index by uppercase column names
+    import pandas as pd
+    tail = pd.read_csv(tmp_path / "regione" / "TE" / "metric.csv"
+                       ).tail(1).to_dict(orient="records")[0]
+    assert {"PSNR", "SSIM", "LPIPS"} <= set(tail)
 
     text = merge.merge_direction(str(tmp_path / "regione"))
     assert "PSNR:" in text and "Latency: 1.5000" in text and "Prompts: 4" in text
+
+
+def test_merge_reads_both_metric_csv_schemas(tmp_path):
+    """Our merger reads a reference-produced metric.csv (uppercase
+    columns) AND the pre-r4 lowercase header; an unknown header is an
+    ERROR, not a silent skip."""
+    for name, hdr in (("ref", "Filename,PSNR,SSIM,LPIPS"),
+                      ("old", "file,psnr,ssim,lpips")):
+        d = tmp_path / name / "TE"
+        d.mkdir(parents=True)
+        (d / "metric.csv").write_text(
+            f"{hdr}\nimg.png,30.0,0.9,0.1\nAVERAGE,30.0,0.9,0.1\n")
+        json.dump({"num_item": 1, "ave_time_consuming": 2.0,
+                   "time_consuming_list": [2.0]},
+                  open(d / "time_consuming.json", "w"))
+        text = merge.merge_direction(str(tmp_path / name))
+        assert "PSNR: 30.0000" in text and "SSIM: 0.9000" in text
+
+    bad = tmp_path / "bad" / "TE"
+    bad.mkdir(parents=True)
+    (bad / "metric.csv").write_text("name,quality\nimg.png,9\n")
+    with pytest.raises(ValueError, match="column"):
+        merge.merge_direction(str(tmp_path / "bad"))
 
 
 def test_merge_reads_reference_schema(tmp_path):
