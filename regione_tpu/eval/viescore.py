@@ -391,10 +391,16 @@ def run_task(scorer: VIEScore, task_dir: str, gen_dir: str, out_csv: str,
     meta = {}
     for line in open(Path(task_dir) / "metadata.jsonl"):
         item = json.loads(line)
-        meta[item.get("key") or Path(item["image"]).stem] = item
+        # either metadata schema: ours ({image, prompt}) or the
+        # reference's raw dataset items ({key, instruction}, image at
+        # img/{key}.png — data/preprocess.py:39,43)
+        img_name = item.get("image") or f"{item['key']}.png"
+        item["image"] = img_name
+        meta[item.get("key") or Path(img_name).stem] = item
 
     def one(key):
         item = meta[key]
+        prompt = item.get("prompt") or item.get("instruction", "")
         src = np.asarray(Image.open(
             Path(task_dir) / "img" / item["image"]).convert("RGB"))
         edited = np.asarray(Image.open(
@@ -406,14 +412,19 @@ def run_task(scorer: VIEScore, task_dir: str, gen_dir: str, out_csv: str,
         for _ in range(parse_tries):
             try:
                 r = process_with_retry(scorer.evaluate, [src, edited],
-                                       item["prompt"], no_retry=(ValueError,))
+                                       prompt, no_retry=(ValueError,))
                 break
             except ValueError:
                 continue
         else:
             r = process_with_retry(scorer.evaluate, [src, edited],
-                                   item["prompt"], give_up_parsing=True)
-        return {"key": key, "sc": r["sc"], "pq": r["pq"], "o": r["o"],
+                                   prompt, give_up_parsing=True)
+        return {"key": key, "edited_image": f"{key}.png",
+                "instruction": prompt,
+                "sementics_score": r["sc"], "quality_score": r["pq"],
+                "instruction_language": item.get("instruction_language",
+                                                 "en"),
+                "sc": r["sc"], "pq": r["pq"], "o": r["o"],
                 "guessed": int(r["guessed"])}
 
     keys = [k for k in meta if (Path(gen_dir) / f"{k}.png").exists()]
@@ -421,15 +432,44 @@ def run_task(scorer: VIEScore, task_dir: str, gen_dir: str, out_csv: str,
         rows = list(ex.map(one, keys))
     out_path.parent.mkdir(parents=True, exist_ok=True)
     with open(out_path, "w", newline="") as fh:
-        w = csv.DictWriter(fh, fieldnames=["key", "sc", "pq", "o", "guessed"])
+        # reference column schema first (run_gedit_score.py:161 — incl.
+        # the reference's 'sementics_score' spelling, which
+        # calculate_statistics.py:31 indexes verbatim) so the reference
+        # stats script runs unchanged on our CSVs; 'o'/'guessed' are our
+        # extra columns (ignored by name-based readers)
+        w = csv.DictWriter(
+            fh, fieldnames=["key", "edited_image", "instruction",
+                            "sementics_score", "quality_score",
+                            "instruction_language", "o", "guessed"],
+            extrasaction="ignore")
         w.writeheader()
         w.writerows(rows)
     return rows
 
 
-def analyze_scores(csv_paths: list[str]) -> dict:
+def _row_scores(r: dict) -> tuple[float, float, float]:
+    """(sc, pq, o) from a CSV row in either schema: ours (sc/pq/o) or
+    the reference's (sementics_score/quality_score,
+    run_gedit_score.py:161); o recomputed as sqrt(sc*pq) when absent
+    (calculate_statistics.py:39)."""
+    sc = r.get("sc", r.get("sementics_score"))
+    pq = r.get("pq", r.get("quality_score"))
+    if sc is None or pq is None:
+        raise ValueError(f"score row has neither sc/pq nor "
+                         f"sementics_score/quality_score: {sorted(r)}")
+    sc, pq = float(sc), float(pq)
+    o = float(r["o"]) if r.get("o") not in (None, "") \
+        else math.sqrt(sc * pq)
+    return sc, pq, o
+
+
+def analyze_scores(csv_paths: list[str], language: str | None = "en") -> dict:
     """Per-task and overall SC/PQ/O means
-    (reference calculate_statistics.py:11-72).
+    (reference calculate_statistics.py:11-72).  Reads our CSVs AND
+    reference-produced ones (column fallback per ``_row_scores``);
+    rows carrying an ``instruction_language`` are filtered to
+    ``language`` the way the reference does (calculate_statistics.py:34;
+    pass None to keep every row).
 
     ``overall`` is row-weighted (every image counts equally);
     ``overall_task_mean`` is the reference's headline convention — the
@@ -438,14 +478,18 @@ def analyze_scores(csv_paths: list[str]) -> dict:
     per_task, all_rows = {}, []
     for p in csv_paths:
         rows = list(csv.DictReader(open(p)))
+        if language is not None:
+            rows = [r for r in rows
+                    if r.get("instruction_language") in (None, language)]
         if not rows:
             continue
-        stats = {k: float(np.mean([float(r[k]) for r in rows]))
-                 for k in ("sc", "pq", "o")}
+        scored = [_row_scores(r) for r in rows]
+        stats = {k: float(np.mean([s[i] for s in scored]))
+                 for i, k in enumerate(("sc", "pq", "o"))}
         per_task[Path(p).parent.name] = {**stats, "n": len(rows)}
-        all_rows += rows
-    overall = ({k: float(np.mean([float(r[k]) for r in all_rows]))
-                for k in ("sc", "pq", "o")} if all_rows else {})
+        all_rows += scored
+    overall = ({k: float(np.mean([s[i] for s in all_rows]))
+                for i, k in enumerate(("sc", "pq", "o"))} if all_rows else {})
     task_mean = ({k: float(np.mean([t[k] for t in per_task.values()]))
                   for k in ("sc", "pq", "o")} if per_task else {})
     return {"per_task": per_task, "overall": overall,

@@ -466,3 +466,58 @@ def test_thinker_reflect_prose_and_failure_tag():
     ok, new_prompt, _, _ = VLMThinker(vlm_contradiction).reflect(
         None, None, "add a hat")
     assert not ok and new_prompt == "try harder"
+
+
+def test_viescore_csv_reference_schema_interop(tmp_path):
+    """Both directions of {backbone}_vie_score.csv interop: our CSV must
+    satisfy a transcription of the reference stats read
+    (calculate_statistics.py:26-39 — indexes key/edited_image/instruction/
+    sementics_score/quality_score/instruction_language by name), and a
+    reference-produced CSV must flow through our analyze_scores."""
+    import math
+    from PIL import Image
+
+    task = tmp_path / "task"
+    (task / "img").mkdir(parents=True)
+    gen = tmp_path / "gen"
+    gen.mkdir()
+    with open(task / "metadata.jsonl", "w") as fh:
+        img = np.full((8, 8, 3), 80, np.uint8)
+        Image.fromarray(img).save(task / "img" / "k0.png")
+        Image.fromarray(img).save(gen / "k0.png")
+        # reference-schema metadata item (raw dataset dump: key +
+        # instruction, no image/prompt fields)
+        fh.write(json.dumps({"key": "k0", "instruction": "make it red",
+                             "instruction_language": "en"}) + "\n")
+    out_csv = tmp_path / "scores" / "dryrun_vie_score.csv"
+    viescore.run_task(viescore.VIEScore(viescore.DryRunBackbone()),
+                      str(task), str(gen), str(out_csv))
+
+    import pandas as pd
+    df = pd.read_csv(out_csv)
+    sems, quals, overalls = [], [], []
+    for _, row in df.iterrows():  # transcription of the reference loop
+        if row["instruction_language"] != "en":
+            continue
+        assert row["key"] == "k0" and row["edited_image"] == "k0.png"
+        assert row["instruction"] == "make it red"
+        sems.append(row["sementics_score"])
+        quals.append(row["quality_score"])
+        overalls.append(math.sqrt(row["sementics_score"]
+                                  * row["quality_score"]))
+    assert len(sems) == 1
+
+    # reference-produced CSV (no sc/pq/o columns, cn row filtered out)
+    ref_csv = tmp_path / "TE" / "gpt4o_vie_score.csv"
+    ref_csv.parent.mkdir()
+    ref_csv.write_text(
+        "key,edited_image,instruction,sementics_score,quality_score,"
+        "instruction_language\n"
+        "a,a.png,edit,8.0,6.0,en\n"
+        "b,b.png,bianji,2.0,2.0,cn\n")
+    stats = viescore.analyze_scores([str(ref_csv)])
+    assert stats["n"] == 1
+    assert stats["overall"]["sc"] == 8.0 and stats["overall"]["pq"] == 6.0
+    assert stats["overall"]["o"] == pytest.approx(math.sqrt(48.0))
+    # language=None keeps every row
+    assert viescore.analyze_scores([str(ref_csv)], language=None)["n"] == 2
