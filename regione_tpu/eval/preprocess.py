@@ -57,9 +57,15 @@ class KontextBenchProcessor:
             img_name = f"{key}.png"
             item["image"].save(task_dir / "img" / img_name)
             with open(task_dir / "metadata.jsonl", "a") as fh:
+                # "instruction"/"instruction_language" so the REFERENCE
+                # drivers (which index data["instruction"], e.g.
+                # src/Qwen-Image-Edit-2509/main.py:114) run unchanged on
+                # our preprocessed dirs; "prompt" is our short alias
                 fh.write(json.dumps(
                     {"key": key, "image": img_name,
-                     "prompt": item["instruction"]}) + "\n")
+                     "prompt": item["instruction"],
+                     "instruction": item["instruction"],
+                     "instruction_language": "en"}) + "\n")
         return counters
 
 
@@ -90,7 +96,9 @@ class GEditBenchProcessor:
             with open(task_dir / "metadata.jsonl", "a") as fh:
                 fh.write(json.dumps(
                     {"key": key, "image": img_name,
-                     "prompt": item["instruction"]}) + "\n")
+                     "prompt": item["instruction"],
+                     "instruction": item["instruction"],
+                     "instruction_language": self.language}) + "\n")
         return counters
 
 

@@ -521,3 +521,37 @@ def test_viescore_csv_reference_schema_interop(tmp_path):
     assert stats["overall"]["o"] == pytest.approx(math.sqrt(48.0))
     # language=None keeps every row
     assert viescore.analyze_scores([str(ref_csv)], language=None)["n"] == 2
+
+
+def test_preprocessor_writes_reference_readable_metadata(tmp_path,
+                                                         monkeypatch):
+    """Our preprocessed metadata.jsonl must satisfy the REFERENCE drivers,
+    which index data["instruction"] and open img/{key}.png
+    (src/Qwen-Image-Edit-2509/main.py:113-114)."""
+    import sys
+    import types
+    from PIL import Image
+    from regione_tpu.eval import preprocess
+
+    img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+    fake_ds = [{"key": "k7", "task_type": "text_change",
+                "instruction": "swap the words", "instruction_language": "en",
+                "input_image": img},
+               {"key": "k8", "task_type": "text_change",
+                "instruction": "huan ci", "instruction_language": "cn",
+                "input_image": img}]
+    mod = types.SimpleNamespace(load_dataset=lambda *a, **k: fake_ds)
+    monkeypatch.setitem(sys.modules, "datasets", mod)
+
+    preprocess.GEditBenchProcessor(str(tmp_path / "src"),
+                                   str(tmp_path / "out")).process()
+    task = tmp_path / "out" / "GEdit-Bench" / "text_change"
+    lines = [json.loads(l) for l in open(task / "metadata.jsonl")]
+    assert len(lines) == 1  # cn filtered
+    (item,) = lines
+    # the reference driver's exact reads
+    assert item["instruction"] == "swap the words"
+    assert item["instruction_language"] == "en"
+    assert (task / "img" / f"{item['key']}.png").exists()
+    # our short alias stays
+    assert item["prompt"] == item["instruction"]
