@@ -58,6 +58,21 @@ def build_pipeline(args):
         refresh_step=args.refresh_step, threshold=args.threshold,
         cache_threshold=args.cache_threshold,
         erosion_dilation=args.erosion_dilation).validate()
+    steps = getattr(args, "num_inference_steps", None)
+    if steps is not None and steps != re.num_inference_steps:
+        if args.use_regione:
+            # the reference pins this in RegionE mode (RegionE/tool/
+            # RegionE.py:44): the gamma tables are fitted at 28 steps
+            raise SystemExit("--num_inference_steps must be 28 with "
+                             "--use_regione (fitted gamma tables)")
+        if steps < 4:
+            raise SystemExit("--num_inference_steps must be >= 4")
+        # dense-only run: the reference's vanilla path takes any step
+        # count without Manager validation; the RegionE knobs are unused
+        # on this path, so pin them to values that satisfy validate()
+        re = re.replace(num_inference_steps=steps, allow_custom_steps=True,
+                        warmup_step=1, post_step=0,
+                        refresh_step=(3,)).validate()
 
     if args.model_path:
         from regione_tpu.weights.convert import load_converted
@@ -266,6 +281,14 @@ def main(argv=None):
                          "true CFG scale elsewhere (default: per-backend "
                          "reference value)")
     ap.add_argument("--size_level", type=int, default=None)
+    ap.add_argument("--num_inference_steps", type=int, default=None,
+                    help="denoise step count (reference flag, src/<M>/"
+                         "main.py): any value for the dense baseline; "
+                         "must stay 28 with --use_regione")
+    ap.add_argument("--device", default=None,
+                    help="accepted for reference command-line "
+                         "compatibility (e.g. 'cuda:0'); device placement "
+                         "is managed by JAX/XLA, so the value is ignored")
     ap.add_argument("--image_path", default=None)
     ap.add_argument("--prompt", default=None)
     ap.add_argument("--data_jsonl", default=None)
@@ -321,6 +344,16 @@ def main(argv=None):
                          "pure activation quant against weight-only "
                          "--int8 without the extra weight coverage)")
     args = ap.parse_args(argv)
+
+    # reference --image_path overloading (src/<M>/main.py:34,47,87): a
+    # .jsonl is the demo metadata list; with --evaluation a directory is
+    # the dataset root — accept reference command lines unchanged
+    if args.image_path:
+        p = Path(args.image_path)
+        if args.data_jsonl is None and p.suffix == ".jsonl":
+            args.data_jsonl, args.image_path = args.image_path, None
+        elif args.eval_dir is None and args.evaluation and p.is_dir():
+            args.eval_dir, args.image_path = args.image_path, None
 
     from regione_tpu.utils.telemetry import enable_compile_cache
     enable_compile_cache()

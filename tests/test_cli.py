@@ -258,3 +258,52 @@ def test_cli_demo_reference_schema(tiny_cli, tmp_path):
         "--output_dir", str(tmp_path / "out"), "--size_level", "32",
     ])
     assert (tmp_path / "out" / "demo_0.png").exists()
+
+
+def test_cli_reference_flag_compat(tmp_path):
+    """Reference command lines run unchanged: --device accepted (ignored),
+    --image_path as demo data.jsonl and as --evaluation dataset root
+    (src/<M>/main.py:34,47,87), --num_inference_steps free for the dense
+    baseline but pinned to 28 with --use_regione
+    (RegionE/tool/RegionE.py:44)."""
+    from PIL import Image
+    from regione_tpu.cli import main as cli
+
+    img = (np.random.default_rng(0).random((64, 64, 3)) * 255
+           ).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "demo_in.png")
+    with open(tmp_path / "data.jsonl", "w") as fh:
+        fh.write(json.dumps({"key": str(tmp_path / "demo_in"),
+                             "instruction": "demo edit"}) + "\n")
+    # demo: reference style --image_path <jsonl> + --device + custom steps
+    cli.main([
+        "--backend", "step1x-edit", "--preset", "tiny-step1x",
+        "--device", "cuda", "--num_inference_steps", "6",
+        "--image_path", str(tmp_path / "data.jsonl"),
+        "--output_dir", str(tmp_path / "out"), "--size_level", "64",
+    ])
+    assert (tmp_path / "out" / "demo_0.png").exists()
+
+    # evaluation: reference style --image_path <dataset root>
+    task = tmp_path / "bench" / "TE"
+    (task / "img").mkdir(parents=True)
+    Image.fromarray(img).save(task / "img" / "k0.png")
+    (task / "metadata.jsonl").write_text(
+        json.dumps({"key": "k0", "instruction": "edit"}) + "\n")
+    cli.main([
+        "--backend", "step1x-edit", "--preset", "tiny-step1x",
+        "--evaluation", "--num_inference_steps", "6",
+        "--image_path", str(tmp_path / "bench"),
+        "--output_dir", str(tmp_path / "res"), "--size_level", "64",
+    ])
+    assert (tmp_path / "res" / "TE" / "generation" / "k0.png").exists()
+
+    # RegionE mode keeps the reference's 28-step pin
+    with pytest.raises(SystemExit, match="28"):
+        cli.main([
+            "--backend", "step1x-edit", "--preset", "tiny-step1x",
+            "--use_regione", "--num_inference_steps", "12",
+            "--image_path", str(tmp_path / "demo_in.png"),
+            "--prompt", "x", "--output_dir", str(tmp_path / "o2"),
+            "--size_level", "64",
+        ])
