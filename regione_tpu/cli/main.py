@@ -192,9 +192,14 @@ def run_demo(pipe, args):
         else [{"image": args.image_path, "prompt": args.prompt}]
     out_dir = Path(args.output_dir)
     times = []
+    refs = [load_image(p) for p in getattr(args, "ref_image_path", None) or []]
     for i, item in enumerate(items):
         path, item["prompt"] = _item_image_prompt(item)
         img = load_image(path)
+        if refs:
+            # multi-reference conditioning (Plus): main image + extra refs
+            # as the pipeline's image list (pipelines/qwen_image_edit.py)
+            img = [img] + refs
         t0 = time.perf_counter()
         if args.enable_thinking or args.enable_reflection:
             from regione_tpu.pipelines.thinker import edit_with_reflection
@@ -290,6 +295,9 @@ def main(argv=None):
                          "compatibility (e.g. 'cuda:0'); device placement "
                          "is managed by JAX/XLA, so the value is ignored")
     ap.add_argument("--image_path", default=None)
+    ap.add_argument("--ref_image_path", action="append", default=None,
+                    help="extra reference image(s) for multi-reference "
+                         "conditioning (qwen-image-edit-plus); repeatable")
     ap.add_argument("--prompt", default=None)
     ap.add_argument("--data_jsonl", default=None)
     ap.add_argument("--output_dir", default="outputs")

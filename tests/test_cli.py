@@ -307,3 +307,29 @@ def test_cli_reference_flag_compat(tmp_path):
             "--prompt", "x", "--output_dir", str(tmp_path / "o2"),
             "--size_level", "64",
         ])
+
+
+def test_cli_plus_multireference_demo(tmp_path):
+    """--ref_image_path feeds extra references into the Plus pipeline's
+    multi-reference conditioning path from the CLI."""
+    from PIL import Image
+    from regione_tpu.cli import main as cli
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    ref = (rng.random((48, 80, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "in.png")
+    Image.fromarray(ref).save(tmp_path / "ref.png")
+    cli.main([
+        "--backend", "qwen-image-edit-plus", "--preset", "tiny-qwen",
+        "--use_regione", "--threshold", "0.0",
+        "--erosion_dilation", "False",
+        "--image_path", str(tmp_path / "in.png"),
+        "--ref_image_path", str(tmp_path / "ref.png"),
+        "--prompt", "blend in the reference",
+        "--output_dir", str(tmp_path / "out"), "--size_level", "64",
+    ])
+    outs = list((tmp_path / "out").glob("demo_0.*"))
+    assert len(outs) == 1
+    arr = np.asarray(Image.open(outs[0]))
+    assert arr.shape == (64, 64, 3)
