@@ -278,8 +278,12 @@ def main(argv=None):
     ap.add_argument("--refresh_step", default="16")
     ap.add_argument("--threshold", type=float, default=0.88)
     ap.add_argument("--cache_threshold", type=float, default=0.02)
+    # The reference CLI defines this store_true (src/Step1X-Edit/main.py:27)
+    # and its script/*.sh always pass it bare; accept the bare form AND an
+    # explicit True/False value.  Default stays True — the plugin-level
+    # reference default for every backend (RegionE/tool/RegionE.py:1-7).
     ap.add_argument("--erosion_dilation", type=lambda s: s != "False",
-                    default=True)
+                    nargs="?", const=True, default=True)
     ap.add_argument("--seed", type=int, default=110)
     ap.add_argument("--guidance_scale", type=float, default=None,
                     help="reference drivers' knob: FLUX guidance embed / "

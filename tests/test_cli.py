@@ -276,9 +276,12 @@ def test_cli_reference_flag_compat(tmp_path):
         fh.write(json.dumps({"key": str(tmp_path / "demo_in"),
                              "instruction": "demo edit"}) + "\n")
     # demo: reference style --image_path <jsonl> + --device + custom steps
+    # + the BARE --erosion_dilation form every reference script/*.sh uses
+    # (store_true in src/Step1X-Edit/main.py:27)
     cli.main([
         "--backend", "step1x-edit", "--preset", "tiny-step1x",
         "--device", "cuda", "--num_inference_steps", "6",
+        "--erosion_dilation",
         "--image_path", str(tmp_path / "data.jsonl"),
         "--output_dir", str(tmp_path / "out"), "--size_level", "64",
     ])
