@@ -19,11 +19,13 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import time
 from pathlib import Path
 
 import numpy as np
+
+# schema resolution shared with the VIEScore harness (one copy, no drift)
+from regione_tpu.utils.metadata import item_key, resolve_item as _item_image_prompt
 
 
 def build_pipeline(args):
@@ -163,27 +165,25 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
-def _item_image_prompt(item, img_dir=None):
-    """Resolve (image path, prompt) from a metadata line in EITHER schema:
-    ours ({"image", "prompt"}) or the reference's raw dataset items —
-    demo data.jsonl uses {"key": path-sans-ext, "instruction"}
-    (src/Qwen-Image-Edit-2509/main.py:70,66) and the eval preprocessor
-    dumps items verbatim with images at img/{key}.png
-    (data/preprocess.py:39,43)."""
-    if "image" in item:
-        path = item["image"]
-    elif "key" in item:
-        path = f"{item['key']}.png"
-    else:
-        raise KeyError(f"metadata item has neither 'image' nor 'key': "
-                       f"{sorted(item)}")
-    if img_dir is not None and not os.path.isabs(path):
-        path = str(Path(img_dir) / os.path.basename(path))
-    prompt = item.get("prompt") or item.get("instruction")
-    if prompt is None:
-        raise KeyError(f"metadata item has neither 'prompt' nor "
-                       f"'instruction': {sorted(item)}")
-    return path, prompt
+def _first_item(args):
+    """(image path, prompt) of the first input the timed run will see —
+    so --num_warmup_runs warms the same shapes in every input mode
+    (plain --image_path, demo jsonl, or an --evaluation dataset root)."""
+    if args.image_path:
+        return args.image_path, args.prompt
+    if args.data_jsonl:
+        for line in open(args.data_jsonl):
+            return _item_image_prompt(json.loads(line))
+    if args.eval_dir:
+        for task_dir in sorted(p for p in Path(args.eval_dir).iterdir()
+                               if p.is_dir()):
+            meta_file = task_dir / "metadata.jsonl"
+            if not meta_file.exists():
+                continue
+            for line in open(meta_file):
+                return _item_image_prompt(json.loads(line),
+                                          img_dir=task_dir / "img")
+    return None, None
 
 
 def run_demo(pipe, args):
@@ -239,7 +239,7 @@ def run_evaluation(pipe, args):
         for line in open(meta_file):
             item = json.loads(line)
             path, prompt = _item_image_prompt(item, img_dir=task_dir / "img")
-            key = item.get("key") or Path(path).stem
+            key = item_key(item, path)
             img = load_image(path)
             t0 = time.perf_counter()
             out, _ = pipe(img, prompt, seed=args.seed,
@@ -366,6 +366,19 @@ def main(argv=None):
             args.data_jsonl, args.image_path = args.image_path, None
         elif args.eval_dir is None and args.evaluation and p.is_dir():
             args.eval_dir, args.image_path = args.image_path, None
+    if args.evaluation:
+        # fail BEFORE the (minutes-long) weight load/compile, not with a
+        # Path(None) TypeError afterwards
+        if args.eval_dir is None:
+            hint = (f" ({args.image_path!r} is not an existing directory)"
+                    if args.image_path else "")
+            raise SystemExit("--evaluation needs a dataset root: pass "
+                             "--eval_dir (or the reference-style "
+                             "--image_path) pointing at an existing "
+                             "directory of task dirs" + hint)
+        if not Path(args.eval_dir).is_dir():
+            raise SystemExit(f"--eval_dir {args.eval_dir!r} is not a "
+                             f"directory")
 
     from regione_tpu.utils.telemetry import enable_compile_cache
     enable_compile_cache()
@@ -377,10 +390,19 @@ def main(argv=None):
         plan = build_stage_plan(pipe.re, build_sigmas(
             pipe.re.num_inference_steps, mu=mu), pipe.gamma)
         print(describe_plan(plan))
-    if args.num_warmup_runs and args.image_path:
-        img = load_image(args.image_path)
+    if args.num_warmup_runs:
+        # warm on the first real input so the timed runs never include
+        # XLA compile time — in every input mode (the reference's 3
+        # warmup invocations, main.py:50-58)
+        wpath, wprompt = _first_item(args)
+        if wpath is None:
+            raise SystemExit("--num_warmup_runs needs an input to warm on "
+                             "(no --image_path/--data_jsonl/--eval_dir "
+                             "items found)")
+        img = load_image(wpath)
         for _ in range(args.num_warmup_runs):
-            pipe(img, args.prompt or "warmup", seed=args.seed)
+            pipe(img, wprompt or "warmup", seed=args.seed,
+                 width=args.size_level, height=args.size_level)
     if args.evaluation:
         run_evaluation(pipe, args)
     else:

@@ -132,6 +132,13 @@ def build_stage_plan(
     warmup = params.warmup_step
     post = params.post_step
     assert len(sigmas) == steps + 1
+    if params.allow_custom_steps and len(gamma) < steps - 1:
+        # custom-step runs beyond the fitted 28 (dense baselines, or a
+        # user-supplied partial table): transitions without fitted data
+        # pad to +inf, which the AVD branch's ratio >= 1 test maps to
+        # "recompute, reset accumulate" — never reuse, so padded steps
+        # can only be conservative (inplace.py:346-349)
+        gamma = list(gamma) + [float("inf")] * (steps - 1 - len(gamma))
     assert len(gamma) >= steps - 1, "gamma table too short for step count"
     timesteps = np.asarray(sigmas[:steps], dtype=np.float64) * 1000.0
 

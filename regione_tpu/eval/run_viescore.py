@@ -31,6 +31,12 @@ def main(argv=None):
                     help="local VLM checkpoint dir (idefics2/mantis/"
                          "minicpmv/qwen25vl backbones; no hub egress here)")
     ap.add_argument("--workers", type=int, default=6)
+    ap.add_argument("--language", default="en",
+                    help="instruction language the statistics keep "
+                         "(reference calculate_statistics.py:34 filters "
+                         "to the run's language; pass 'all' to keep "
+                         "every row, e.g. for a cn GEdit sweep scored "
+                         "together with en)")
     args = ap.parse_args(argv)
 
     backbone = make_backbone(args.backbone, key_path=args.key_path,
@@ -53,7 +59,9 @@ def main(argv=None):
         csvs.append(str(out_csv))
         print(f"{task.name}: {len(rows)} scored")
     from regione_tpu.eval.viescore import write_score_artifacts
-    stats = write_score_artifacts(csvs, str(gen_root), args.backbone)
+    stats = write_score_artifacts(
+        csvs, str(gen_root), args.backbone,
+        language=None if args.language == "all" else args.language)
     print(json.dumps(stats, indent=2))
 
 

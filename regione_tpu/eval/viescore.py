@@ -388,21 +388,19 @@ def run_task(scorer: VIEScore, task_dir: str, gen_dir: str, out_csv: str,
     if out_path.exists():
         return list(csv.DictReader(open(out_path)))
     from PIL import Image
+    from regione_tpu.utils.metadata import item_key, resolve_item
     meta = {}
     for line in open(Path(task_dir) / "metadata.jsonl"):
         item = json.loads(line)
-        # either metadata schema: ours ({image, prompt}) or the
-        # reference's raw dataset items ({key, instruction}, image at
-        # img/{key}.png — data/preprocess.py:39,43)
-        img_name = item.get("image") or f"{item['key']}.png"
-        item["image"] = img_name
-        meta[item.get("key") or Path(img_name).stem] = item
+        # schema resolution shared with the CLI driver (either metadata
+        # schema; fails loud on a missing prompt instead of silently
+        # scoring against an empty instruction)
+        path, prompt = resolve_item(item, img_dir=Path(task_dir) / "img")
+        meta[item_key(item, path)] = (item, path, prompt)
 
     def one(key):
-        item = meta[key]
-        prompt = item.get("prompt") or item.get("instruction", "")
-        src = np.asarray(Image.open(
-            Path(task_dir) / "img" / item["image"]).convert("RGB"))
+        item, path, prompt = meta[key]
+        src = np.asarray(Image.open(path).convert("RGB"))
         edited = np.asarray(Image.open(
             Path(gen_dir) / f"{key}.png").convert("RGB"))
         # parse failures (ValueError) get parse_tries fresh queries then a
@@ -497,13 +495,17 @@ def analyze_scores(csv_paths: list[str], language: str | None = "en") -> dict:
 
 
 def write_score_artifacts(csv_paths: list[str], out_root: str,
-                          backbone: str) -> dict:
+                          backbone: str,
+                          language: str | None = "en") -> dict:
     """Persist the reference's score artifacts
     (calculate_statistics.py:105-114): per-task
     ``<task>/{backbone}_voe_score_mean.txt`` ("sc, pq, o" to 3 dp) and
     ``{backbone}_voe_score_merged.txt`` at the root ("Average: sc, pq, o"
-    over task means).  Returns the analyze_scores dict."""
-    stats = analyze_scores(csv_paths)
+    over task means).  ``language`` threads to ``analyze_scores`` (pass
+    the run's instruction language, or None to keep every row — a "cn"
+    sweep scored with the default "en" filter would otherwise silently
+    produce empty statistics).  Returns the analyze_scores dict."""
+    stats = analyze_scores(csv_paths, language=language)
     for task, t in stats["per_task"].items():
         p = Path(out_root) / task / f"{backbone}_voe_score_mean.txt"
         p.parent.mkdir(parents=True, exist_ok=True)

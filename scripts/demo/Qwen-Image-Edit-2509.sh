@@ -52,5 +52,5 @@ python -m regione_tpu.cli.main \
     --device tpu \
     --int4 \
     --evaluation \
-    --image_path data/Processed/GEdit-Bench/en \
+    --image_path data/Processed/GEdit-Bench \
     --output_dir result/Qwen-Image-Edit-2509/RegionE

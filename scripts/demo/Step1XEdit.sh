@@ -41,5 +41,5 @@ python -m regione_tpu.cli.main \
     --seed 110 \
     --device tpu \
     --evaluation \
-    --image_path data/Processed/GEdit-Bench/en \
+    --image_path data/Processed/GEdit-Bench \
     --output_dir result/Step1X-Edit/RegionE

@@ -336,3 +336,56 @@ def test_cli_plus_multireference_demo(tmp_path):
     assert len(outs) == 1
     arr = np.asarray(Image.open(outs[0]))
     assert arr.shape == (64, 64, 3)
+
+
+def test_cli_eval_fails_fast_without_dataset_root(tmp_path):
+    """--evaluation with a missing/typo'd path must exit BEFORE the
+    (minutes-long) pipeline build, with a clear message — not a
+    Path(None) TypeError after weight load (round-4 review)."""
+    from regione_tpu.cli import main as cli
+    with pytest.raises(SystemExit, match="dataset root"):
+        cli.main(["--evaluation",
+                  "--image_path", str(tmp_path / "not_preprocessed"),
+                  "--output_dir", str(tmp_path / "o")])
+    with pytest.raises(SystemExit, match="not a directory"):
+        cli.main(["--evaluation", "--eval_dir", str(tmp_path / "nope"),
+                  "--output_dir", str(tmp_path / "o")])
+
+
+def test_cli_warmup_runs_in_jsonl_mode(monkeypatch, tmp_path):
+    """--num_warmup_runs must fire for reference-style jsonl command
+    lines too: the --image_path overload used to null image_path before
+    the warmup check, so the first timed image silently included full
+    XLA compile time (round-4 review)."""
+    from PIL import Image
+    from regione_tpu.cli import main as cli
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(tmp_path / "in.png")
+    (tmp_path / "data.jsonl").write_text(json.dumps(
+        {"key": str(tmp_path / "in"), "instruction": "demo edit"}) + "\n")
+
+    calls = []
+
+    class StubPipe:
+        def __call__(self, image, prompt, **kw):
+            calls.append(prompt)
+            return np.zeros((16, 16, 3), np.uint8), None
+
+    monkeypatch.setattr(cli, "build_pipeline", lambda args: StubPipe())
+    cli.main(["--num_warmup_runs", "2",
+              "--image_path", str(tmp_path / "data.jsonl"),
+              "--output_dir", str(tmp_path / "out")])
+    assert len(calls) == 3  # 2 warmup invocations + 1 timed demo image
+
+
+def test_metadata_resolver_semantics(tmp_path):
+    """Shared schema resolver (CLI + VIEScore): an explicit empty prompt
+    is a real prompt, relative subdirectories under img/ are preserved
+    (not flattened to the basename), and a missing prompt raises."""
+    from regione_tpu.utils.metadata import resolve_item
+    _, prompt = resolve_item({"image": "a.png", "prompt": ""})
+    assert prompt == ""
+    path, _ = resolve_item({"image": "sub/a.png", "prompt": "x"},
+                           img_dir=tmp_path / "img")
+    assert path == str(tmp_path / "img" / "sub" / "a.png")
+    with pytest.raises(KeyError):
+        resolve_item({"image": "a.png"})

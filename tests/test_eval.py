@@ -555,3 +555,28 @@ def test_preprocessor_writes_reference_readable_metadata(tmp_path,
     assert (task / "img" / f"{item['key']}.png").exists()
     # our short alias stays
     assert item["prompt"] == item["instruction"]
+
+
+def test_write_score_artifacts_language_threading(tmp_path):
+    """A cn GEdit sweep must not silently produce empty statistics
+    (round-4 review): language threads write_score_artifacts ->
+    analyze_scores; the default stays the reference's en filter."""
+    import csv as csvmod
+    from regione_tpu.eval.viescore import write_score_artifacts
+    task = tmp_path / "color_alter"
+    task.mkdir()
+    p = task / "x_vie_score.csv"
+    with open(p, "w", newline="") as fh:
+        w = csvmod.DictWriter(fh, fieldnames=[
+            "key", "sc", "pq", "o", "instruction_language"])
+        w.writeheader()
+        w.writerow({"key": "k0", "sc": 9, "pq": 8, "o": 8.485,
+                    "instruction_language": "cn"})
+    stats = write_score_artifacts([str(p)], str(tmp_path), "x",
+                                  language="cn")
+    assert stats["n"] == 1
+    assert stats["per_task"]["color_alter"]["n"] == 1
+    assert (tmp_path / "x_voe_score_merged.txt").exists()
+    stats_en = write_score_artifacts([str(p)], str(tmp_path), "y")
+    assert stats_en["n"] == 0 and not (
+        tmp_path / "y_voe_score_merged.txt").exists()

@@ -275,3 +275,18 @@ def test_plan_property_fuzz_vs_reference_simulation():
         flat = [sp.index for _, ss in segs for sp in ss]
         assert flat == list(range(28))
     assert tried > 50
+
+
+def test_custom_steps_pad_short_gamma():
+    """Dense baselines at any step count (the reference vanilla drivers
+    accept e.g. 50 steps): the 27-entry fitted table is padded with 1.0,
+    which the AVD branch treats as recompute — the plan builds and
+    nothing reuses on padded transitions (round-4 review finding: every
+    dense run above 28 steps crashed in build_stage_plan)."""
+    params = RegionEParams(num_inference_steps=50, allow_custom_steps=True,
+                           warmup_step=1, post_step=0,
+                           refresh_step=(3,)).validate()
+    sigmas = build_sigmas(50, mu=calculate_shift(4096))
+    plan = build_stage_plan(params, sigmas, gamma_for("step1x-edit"))
+    assert len(plan) == 50
+    assert not any(sp.reuse for sp in plan[27:])
