@@ -266,7 +266,7 @@ def run_evaluation(pipe, args):
               f"avg {np.mean(times) if times else 0:.2f}s")
 
 
-def main(argv=None):
+def make_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser("regione-tpu")
     ap.add_argument("--backend", default="step1x-edit",
                     choices=["step1x-edit", "step1x-edit-v1p2", "flux-kontext",
@@ -355,7 +355,11 @@ def main(argv=None):
                          "(default: follows --act_int8; set false to A/B "
                          "pure activation quant against weight-only "
                          "--int8 without the extra weight coverage)")
-    args = ap.parse_args(argv)
+    return ap
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
 
     # reference --image_path overloading (src/<M>/main.py:34,47,87): a
     # .jsonl is the demo metadata list; with --evaluation a directory is

@@ -108,11 +108,17 @@ def main(argv=None):
     ap.add_argument("--kontext_dir", default="data/Kontext-Bench")
     ap.add_argument("--gedit_dir", default="data/GEdit-Bench")
     ap.add_argument("--out_dir", default="data/Processed")
+    ap.add_argument("--language", default="en",
+                    help="GEdit instruction-language filter (the reference "
+                         "hardcodes en, data/preprocess.py:116; GEdit also "
+                         "ships cn — pair a non-en sweep with "
+                         "run_viescore --language)")
     args = ap.parse_args(argv)
     if Path(args.kontext_dir).exists():
         print("Kontext:", KontextBenchProcessor(args.kontext_dir, args.out_dir).process())
     if Path(args.gedit_dir).exists():
-        print("GEdit:", GEditBenchProcessor(args.gedit_dir, args.out_dir).process())
+        print("GEdit:", GEditBenchProcessor(args.gedit_dir, args.out_dir,
+                                            language=args.language).process())
 
 
 if __name__ == "__main__":

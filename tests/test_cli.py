@@ -389,3 +389,39 @@ def test_metadata_resolver_semantics(tmp_path):
     assert path == str(tmp_path / "img" / "sub" / "a.png")
     with pytest.raises(KeyError):
         resolve_item({"image": "a.png"})
+
+
+def test_demo_scripts_parse_against_real_cli():
+    """Every `python -m regione_tpu.cli.main` invocation in
+    scripts/demo/*.sh must parse with the real argument parser, and its
+    dataset paths must use the layouts this repo actually produces
+    (data/Processed/<bench>/<task> from eval.preprocess, assets/
+    data.jsonl) — guards the whole script set against flag/path drift
+    (round-4 review found a /en eval path no component ever writes)."""
+    import re
+    import shlex
+    from regione_tpu.cli import main as cli
+
+    repo = Path(__file__).resolve().parent.parent
+    scripts = sorted((repo / "scripts" / "demo").glob("*.sh"))
+    assert len(scripts) == 5
+    parser = cli.make_parser()
+    n_cmds = 0
+    for sh in scripts:
+        text = sh.read_text()
+        # join line continuations, then lift each CLI invocation
+        joined = re.sub(r"\\\s*\n", " ", text)
+        for line in joined.splitlines():
+            line = line.strip()
+            if not line.startswith("python -m regione_tpu.cli.main"):
+                continue
+            n_cmds += 1
+            argv = shlex.split(line)[3:]
+            args = parser.parse_args(argv)  # SystemExit on unknown flag
+            if args.evaluation:
+                root = Path(args.image_path or args.eval_dir)
+                assert root.parts[-2] == "Processed"
+                assert root.parts[-1] in ("GEdit-Bench", "Kontext-Bench")
+            elif args.image_path and args.image_path.endswith(".jsonl"):
+                assert (repo / args.image_path).exists()
+    assert n_cmds >= 11  # 5 backends x (demo [+vanilla]) + 5 eval stanzas
