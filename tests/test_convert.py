@@ -121,6 +121,46 @@ def synth_connector_state(cp, ccfg, prefix="connector."):
     return state
 
 
+def to_step1x_naming(state):
+    """Re-key a diffusers-flux-named state dict to the Step1X transformer
+    naming (time_embed/vec_embed top-level embedders)."""
+    renames = {"time_text_embed.timestep_embedder.": "time_embed.",
+               "time_text_embed.text_embedder.": "vec_embed."}
+    out = {}
+    for k, v in state.items():
+        for old, new in renames.items():
+            if k.startswith(old):
+                k = new + k[len(old):]
+                break
+        out[k] = v
+    return out
+
+
+def to_qwen_naming(state):
+    """Re-key a diffusers-flux-named state dict to the Qwen-Image-Edit
+    checkpoint naming (img_mod/txt_mod/img_mlp/img_in/txt_in — the inverse
+    of convert.QWEN_ALIASES)."""
+    inv = [
+        (".norm1.linear", ".img_mod.1"),
+        (".norm1_context.linear", ".txt_mod.1"),
+        (".ff.net.0.proj", ".img_mlp.net.0.proj"),
+        (".ff.net.2", ".img_mlp.net.2"),
+        (".ff_context.net.0.proj", ".txt_mlp.net.0.proj"),
+        (".ff_context.net.2", ".txt_mlp.net.2"),
+    ]
+    out = {}
+    for k, v in state.items():
+        nk = k
+        for flux_name, qwen_name in inv:
+            nk = nk.replace(flux_name, qwen_name)
+        if nk.startswith("x_embedder."):
+            nk = "img_in." + nk[len("x_embedder."):]
+        elif nk.startswith("context_embedder."):
+            nk = "txt_in." + nk[len("context_embedder."):]
+        out[nk] = v
+    return out
+
+
 def _assert_trees_equal(params, back):
     flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
     flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
@@ -153,15 +193,7 @@ def test_step1x_connector_roundtrip():
     state = synth_state_from_params(params, cfg)
     state.update(synth_connector_state(params["connector"], cfg.connector))
     # re-key top-level embeds to the Step1X transformer naming
-    renames = {"time_text_embed.timestep_embedder.": "time_embed.",
-               "time_text_embed.text_embedder.": "vec_embed."}
-    s1x = {}
-    for k, v in state.items():
-        for old, new in renames.items():
-            if k.startswith(old):
-                k = new + k[len(old):]
-                break
-        s1x[k] = v
+    s1x = to_step1x_naming(state)
     assert is_step1x_state(s1x)
     back = convert_flux_transformer(normalize_step1x_keys(s1x), cfg)
     _assert_trees_equal(params, back)
@@ -216,24 +248,7 @@ def test_qwen_key_alias_roundtrip():
     state = synth_state_from_params(params, cfg)
 
     # re-key to the Qwen checkpoint naming (inverse of QWEN_ALIASES)
-    inv = [
-        (".norm1.linear", ".img_mod.1"),
-        (".norm1_context.linear", ".txt_mod.1"),
-        (".ff.net.0.proj", ".img_mlp.net.0.proj"),
-        (".ff.net.2", ".img_mlp.net.2"),
-        (".ff_context.net.0.proj", ".txt_mlp.net.0.proj"),
-        (".ff_context.net.2", ".txt_mlp.net.2"),
-    ]
-    qstate = {}
-    for k, v in state.items():
-        nk = k
-        for flux_name, qwen_name in inv:
-            nk = nk.replace(flux_name, qwen_name)
-        if nk.startswith("x_embedder."):
-            nk = "img_in." + nk[len("x_embedder."):]
-        elif nk.startswith("context_embedder."):
-            nk = "txt_in." + nk[len("context_embedder."):]
-        qstate[nk] = v
+    qstate = to_qwen_naming(state)
     assert any(".img_mod." in k for k in qstate) and "img_in.weight" in qstate
 
     back = convert_flux_transformer(normalize_qwen_keys(qstate), cfg)
