@@ -69,8 +69,9 @@ def psnr(a, b):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="step1x-edit",
-                    choices=["step1x-edit", "flux-kontext",
-                             "qwen-image-edit"])
+                    choices=["step1x-edit", "step1x-edit-v1p2",
+                             "flux-kontext", "qwen-image-edit",
+                             "qwen-image-edit-plus"])
     ap.add_argument("--grid", type=int, default=None)
     ap.add_argument("--t-txt", type=int, default=None)
     ap.add_argument("--blocks", type=int, default=None,
@@ -115,8 +116,10 @@ def main():
         # reference text lengths: FLUX T5 max 512, Qwen chat-template
         # prompts run to ~512; Step1X Qwen2.5-VL prompts are short (128)
         "step1x-edit": (44, 128, None, "FULLSIZE.json"),
+        "step1x-edit-v1p2": (44, 128, None, "FULLSIZE_V1P2.json"),
         "flux-kontext": (64, 512, None, "FULLSIZE_FLUX.json"),
         "qwen-image-edit": (48, 512, 36, "FULLSIZE_QWEN.json"),
+        "qwen-image-edit-plus": (48, 512, 36, "FULLSIZE_PLUS.json"),
     }
     if args.int4 and args.act_int8:
         ap.error("--int4 and --act-int8 are mutually exclusive (int4 runs "
@@ -128,8 +131,12 @@ def main():
         # native 1024px (12.4 GiB)
         if args.preset == "qwen-image-edit":
             dg, db, dout = 44, 60, "FULLSIZE_QWEN60.json"
-        elif args.preset == "step1x-edit":
-            dg, dout = 64, "FULLSIZE_1024.json"
+        elif args.preset == "qwen-image-edit-plus":
+            dg, db, dout = 44, 60, "FULLSIZE_PLUS60.json"
+        elif args.preset.startswith("step1x"):
+            dg = 64
+            dout = ("FULLSIZE_1024.json" if args.preset == "step1x-edit"
+                    else "FULLSIZE_V1P2_1024.json")
             if args.dense_chunk is None:
                 args.dense_chunk = 14  # 28-step scan ~71 s > watchdog
         else:
@@ -160,14 +167,16 @@ def main():
     from regione_tpu.ops.quant import init_quantized
     from regione_tpu.pipelines.base import EditInputs
     from regione_tpu.pipelines.flux_kontext import FluxKontextPipeline
-    from regione_tpu.pipelines.qwen_image_edit import QwenImageEditPipeline
-    from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
+    from regione_tpu.pipelines.qwen_image_edit import (
+        QwenImageEditPipeline, QwenImageEditPlusPipeline)
+    from regione_tpu.pipelines.step1x_edit import (
+        Step1XEditPipeline, Step1XEditV1P2Pipeline)
     from regione_tpu.utils.memplan import plan
 
     GRID, T_TXT = args.grid, args.t_txt
     preset = args.preset
     is_flux = preset == "flux-kontext"
-    is_qwen = preset == "qwen-image-edit"
+    is_qwen = preset.startswith("qwen")
     cfg = dataclasses.replace(get_config(preset), cache_int8=True,
                               act_int8=args.act_int8)
     if args.blocks is not None:
@@ -195,12 +204,13 @@ def main():
     re = DEFAULT_PARAMS[preset]
     if args.cap_granularity:
         re = re.replace(capacity_granularity=args.cap_granularity)
-    if is_flux:
-        pipe = FluxKontextPipeline(cfg, params, re, guidance_scale=2.5)
-    elif is_qwen:
-        pipe = QwenImageEditPipeline(cfg, params, re)
-    else:
-        pipe = Step1XEditPipeline(cfg, params, re)
+    pipe_cls = {"step1x-edit": Step1XEditPipeline,
+                "step1x-edit-v1p2": Step1XEditV1P2Pipeline,
+                "flux-kontext": FluxKontextPipeline,
+                "qwen-image-edit": QwenImageEditPipeline,
+                "qwen-image-edit-plus": QwenImageEditPlusPipeline}[preset]
+    kw = {"guidance_scale": 2.5} if is_flux else {}
+    pipe = pipe_cls(cfg, params, re, **kw)
     if args.dense_chunk:
         pipe.dense_chunk = args.dense_chunk
         log(f"dense baseline chunked at {args.dense_chunk} steps/program")
@@ -345,16 +355,23 @@ def main():
         }
 
     speedup = t_dense / t_re
-    # assets/result.jpg reference headline rows
-    ref_headline = {"step1x-edit": 2.572, "flux-kontext": 2.409,
-                    "qwen-image-edit": 2.059}[preset]
+    # assets/result.jpg reference headline rows; the reference table has
+    # no v1p2/Plus rows — compare each against its family's row
+    ref_headline = {"step1x-edit": 2.572, "step1x-edit-v1p2": 2.572,
+                    "flux-kontext": 2.409,
+                    "qwen-image-edit": 2.059,
+                    "qwen-image-edit-plus": 2.059}[preset]
+    qwen_label = (f"production-width Qwen ({cfg.depth_double}/60 blocks, "
+                  f"{param_count(params)/1e9:.1f}B)")
     label = {"step1x-edit": "full-size 12B Step1X",
+             "step1x-edit-v1p2": "full-size 12B Step1X v1.2 (own gamma)",
              "flux-kontext": "full-size 12B FLUX.1-Kontext",
-             "qwen-image-edit":
-                 f"production-width Qwen ({cfg.depth_double}/60 blocks, "
-                 f"{param_count(params)/1e9:.1f}B)"}[preset]
-    if args.int4 and preset == "qwen-image-edit" and cfg.depth_double == 60:
-        label = f"FULL 20B Qwen (60/60 blocks, {param_count(params)/1e9:.1f}B)"
+             "qwen-image-edit": qwen_label,
+             "qwen-image-edit-plus": qwen_label + " [Plus gamma]"}[preset]
+    if args.int4 and is_qwen and cfg.depth_double == 60:
+        label = (f"FULL 20B Qwen (60/60 blocks, "
+                 f"{param_count(params)/1e9:.1f}B)"
+                 + (" [Plus gamma]" if preset.endswith("plus") else ""))
     row = {
         "metric": f"{label} single-chip edit speedup "
                   f"(int{bits} weights + int8 KV cache"
