@@ -283,6 +283,23 @@ def main():
 
     speedup = t_dense / t_re
     fidelity = psnr(np.asarray(out_dense), np.asarray(out_re))
+
+    # ---- pixel-space PSNR (VERDICT r4 item 4) ------------------------------
+    # The reference measures PSNR on DECODED images (evaluation/
+    # metric_all_task.py:12-143); decode both latents through the family VAE
+    # decoder so the headline row carries the dimensionally-matching number
+    # alongside the latent-space one.  Guarded: the timing row must survive
+    # a decode failure.
+    pix = {}
+    try:
+        from regione_tpu.eval.pixelprobe import pixel_psnr_vs_dense
+        log("decoding both latents for pixel-space PSNR...")
+        pix = pixel_psnr_vs_dense(np.asarray(out_dense), np.asarray(out_re),
+                                  GRID, GRID, family="flux")
+        log(f"pixel PSNR vs dense: {pix['psnr_pixel_vs_dense']} dB")
+    except Exception as e:
+        pix = {"pixel_decode_error": repr(e)[:200]}
+
     print(json.dumps({
         "metric": "end-to-end edit speedup vs dense 28-step denoise "
                   "(adaptive partition)",
@@ -292,6 +309,7 @@ def main():
         "dense_s": round(t_dense, 4),
         "regione_s": round(t_re, 4),
         "psnr_latent_vs_dense": round(fidelity, 2),
+        **pix,
         "edited_tokens": stats.edited_tokens,
         "capacity": stats.capacity,
         "edited_frac": round(stats.edited_tokens / s, 4),

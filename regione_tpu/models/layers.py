@@ -301,10 +301,11 @@ def sdpa_cached(q, txt_kv, k_cache, v_cache, bias=None):
     quant = isinstance(k_cache, tuple)
     rows = k_cache[0] if quant else k_cache
     s = rows.shape[2]
+    packed = quant and rows.shape[-1] * 2 == q.shape[-1]  # int4 cache
     rows2_ok = (txt_kv is None
                 or (s % 128 == 0
                     and rows2_fits_vmem(txt_kv[0].shape[2], s,
-                                        q.shape[-1], quant)))
+                                        q.shape[-1], quant, packed)))
     if use_flash(q.shape, rows.shape) and rows2_ok:
         brow = (bias.reshape(bias.shape[0], bias.shape[-1])
                 if bias is not None else None)
@@ -316,9 +317,11 @@ def sdpa_cached(q, txt_kv, k_cache, v_cache, bias=None):
                                      brow, k_scale=ks, v_scale=vs)
     # fallback (CPU / unaligned): dequantize + concat
     if quant:
-        from regione_tpu.ops.quant import dequantize_kv_heads
-        k_cache = dequantize_kv_heads(k_cache[0], k_cache[1], q.dtype)
-        v_cache = dequantize_kv_heads(v_cache[0], v_cache[1], q.dtype)
+        from regione_tpu.ops.quant import (dequantize_kv_heads,
+                                           dequantize_kv_heads4)
+        deq = dequantize_kv_heads4 if packed else dequantize_kv_heads
+        k_cache = deq(k_cache[0], k_cache[1], q.dtype)
+        v_cache = deq(v_cache[0], v_cache[1], q.dtype)
     k, v = k_cache, v_cache
     if txt_kv is not None:
         k = jnp.concatenate([txt_kv[0].astype(k.dtype), k], axis=2)

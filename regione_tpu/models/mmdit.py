@@ -88,6 +88,12 @@ class MMDiTConfig:
                                    # and the per-RAGS-step cache read
                                    # bandwidth; opt-in (PSNR validated on
                                    # hardware before enabling by default)
+    cache_int4: bool = False       # store KV cache nibble-packed int4
+                                   # (ops.quant.quantize_kv_heads4):
+                                   # quarter of the bf16 bytes — the
+                                   # single-chip unlock for the FULL 20B
+                                   # Qwen at its native 1024^2 area.
+                                   # Mutually exclusive with cache_int8
     act_int8: bool = False         # W8A8: dynamically quantize activations
                                    # per row so int8-weight linears run
                                    # s8 x s8 on the MXU (~1.4x the bf16
@@ -99,6 +105,19 @@ class MMDiTConfig:
     @property
     def inner(self) -> int:
         return self.heads * self.head_dim
+
+    @property
+    def cache_quant(self) -> bool:
+        """Quantized-cache structure: (rows, scales) tuples / "_s" leaves."""
+        assert not (self.cache_int8 and self.cache_int4), \
+            "cache_int8 and cache_int4 are mutually exclusive"
+        return self.cache_int8 or self.cache_int4
+
+    def _quantize_kv(self, x):
+        from regione_tpu.ops.quant import (quantize_kv_heads,
+                                           quantize_kv_heads4)
+        return (quantize_kv_heads4 if self.cache_int4
+                else quantize_kv_heads)(x)
 
     @property
     def mlp_hidden(self) -> int:
@@ -166,9 +185,8 @@ def double_block(p, cfg: MMDiTConfig, img, txt, temb_act, rope_img, rope_txt,
     else:
         if mode == MODE_WRITE:
             # head-major cache == the projection output; store as-is
-            if cfg.cache_int8:
-                from regione_tpu.ops.quant import quantize_kv_heads
-                new_cache = (quantize_kv_heads(k_i), quantize_kv_heads(v_i))
+            if cfg.cache_quant:
+                new_cache = (cfg._quantize_kv(k_i), cfg._quantize_kv(v_i))
             else:
                 new_cache = (k_i, v_i)
         k = jnp.concatenate([k_t, k_i], axis=2)
@@ -253,10 +271,9 @@ def single_block(p, cfg: MMDiTConfig, x, temb_act, rope, mode,
         if mode == MODE_WRITE:
             # cache the IMAGE rows only (txt rows re-embed every step)
             k_img, v_img = k[:, :, t_txt:], v[:, :, t_txt:]
-            if cfg.cache_int8:
-                from regione_tpu.ops.quant import quantize_kv_heads
-                new_cache = (quantize_kv_heads(k_img),
-                             quantize_kv_heads(v_img))
+            if cfg.cache_quant:
+                new_cache = (cfg._quantize_kv(k_img),
+                             cfg._quantize_kv(v_img))
             else:
                 new_cache = (k_img, v_img)
         attn = sdpa(q, k, v, bias=txt_bias)
@@ -293,10 +310,14 @@ def init_cache(cfg: MMDiTConfig, batch: int, s_kv_img: int, t_txt: int,
     projection output (already head-split) without any transpose.
 
     With cfg.cache_int8 the K/V arrays are int8 plus per-(row, head) f32
-    scale leaves ("dk_s", ...) of shape [L, B, H, S]."""
+    scale leaves ("dk_s", ...) of shape [L, B, H, S]; with cfg.cache_int4
+    the rows are nibble-packed int8 of width dh/2 (ops.quant
+    quantize_kv_heads4) with the same scale leaves."""
     del t_txt
-    dtype = dtype or (jnp.int8 if cfg.cache_int8 else cfg.dtype)
+    dtype = dtype or (jnp.int8 if cfg.cache_quant else cfg.dtype)
     h, dh = cfg.heads, cfg.head_dim
+    if cfg.cache_int4:
+        dh //= 2  # two int4 values per stored byte
     cache = {
         "dk": jnp.zeros((cfg.depth_double, batch, h, s_kv_img, dh), dtype),
         "dv": jnp.zeros((cfg.depth_double, batch, h, s_kv_img, dh), dtype),
@@ -306,7 +327,7 @@ def init_cache(cfg: MMDiTConfig, batch: int, s_kv_img: int, t_txt: int,
             (cfg.depth_single, batch, h, s_kv_img, dh), dtype)
         cache["sv"] = jnp.zeros(
             (cfg.depth_single, batch, h, s_kv_img, dh), dtype)
-    if cfg.cache_int8:
+    if cfg.cache_quant:
         # NB: each scale leaf must be a DISTINCT array — aliasing one
         # buffer into two pytree slots breaks donation (donating the same
         # buffer for two parameters is an InvalidArgument on TPU)
@@ -431,14 +452,14 @@ def _mmdit_forward_body(
     elif mode == MODE_RAGS:
         # read-only cache -> thread it as scan xs (per-layer slices)
         def _xs(prefix):
-            if cfg.cache_int8:
+            if cfg.cache_quant:
                 return (cache[prefix], cache[prefix + "_s"])
             return (cache[prefix],)
 
         def dbody(carry, xs):
             xc, tc = carry
             pl = xs[0]
-            if cfg.cache_int8:
+            if cfg.cache_quant:
                 ck, cv = (xs[1], xs[2]), (xs[3], xs[4])
             else:
                 ck, cv = xs[1], xs[2]
@@ -455,13 +476,13 @@ def _mmdit_forward_body(
         _upd = jax.lax.dynamic_update_index_in_dim
 
         def _store(stack, new, i):
-            if cfg.cache_int8:
+            if cfg.cache_quant:
                 return (_upd(stack[0], new[0], i, 0),
                         _upd(stack[1], new[1], i, 0))
             return _upd(stack, new, i, 0)
 
         def _pack(prefix):
-            if cfg.cache_int8:
+            if cfg.cache_quant:
                 return (cache[prefix], cache[prefix + "_s"])
             return cache[prefix]
 
@@ -476,7 +497,7 @@ def _mmdit_forward_body(
         (x, txt_h, new_dk, new_dv, _), _ = jax.lax.scan(
             dbody, (x, txt_h, _pack("dk"), _pack("dv"), jnp.int32(0)),
             params["double"])
-        if cfg.cache_int8:
+        if cfg.cache_quant:
             new_cache = {"dk": new_dk[0], "dk_s": new_dk[1],
                          "dv": new_dv[0], "dv_s": new_dv[1]}
         else:
@@ -497,7 +518,7 @@ def _mmdit_forward_body(
         elif mode == MODE_RAGS:
             def sbody(sc, xs):
                 pl = xs[0]
-                if cfg.cache_int8:
+                if cfg.cache_quant:
                     ck, cv = (xs[1], xs[2]), (xs[3], xs[4])
                 else:
                     ck, cv = xs[1], xs[2]
@@ -519,7 +540,7 @@ def _mmdit_forward_body(
             (stream, new_sk, new_sv, _), _ = jax.lax.scan(
                 sbody, (stream, _pack("sk"), _pack("sv"), jnp.int32(0)),
                 params["single"])
-            if cfg.cache_int8:
+            if cfg.cache_quant:
                 new_cache.update(sk=new_sk[0], sk_s=new_sk[1],
                                  sv=new_sv[0], sv_s=new_sv[1])
             else:

@@ -81,18 +81,30 @@ def _kv_resident_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _unpack4_f32(packed):
+    """Nibble-packed int4 rows [S, D/2] -> f32 [S, D] (split-halves
+    convention of ops.quant.pack_int4: low nibble = dh[:D/2], high
+    nibble = dh[D/2:]; int8 -> int32 sign extension makes the arithmetic
+    right shift return signed nibbles)."""
+    p32 = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    hi = jnp.right_shift(p32, 4)
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+
+
 def _kv_resident_q8_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref,
-                           o_ref, kd_ref, vd_ref, *, scale: float):
+                           o_ref, kd_ref, vd_ref, *, scale: float,
+                           packed: bool = False):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _dequant():                                # once per (batch, head)
         ks = ks_ref[0, 0].astype(jnp.float32)      # [S]
         vs = vs_ref[0, 0].astype(jnp.float32)
-        kd_ref[:] = (k_ref[0].astype(jnp.float32)
-                     * ks[:, None]).astype(jnp.bfloat16)
-        vd_ref[:] = (v_ref[0].astype(jnp.float32)
-                     * vs[:, None]).astype(jnp.bfloat16)
+        kr = _unpack4_f32(k_ref[0]) if packed else k_ref[0].astype(jnp.float32)
+        vr = _unpack4_f32(v_ref[0]) if packed else v_ref[0].astype(jnp.float32)
+        kd_ref[:] = (kr * ks[:, None]).astype(jnp.bfloat16)
+        vd_ref[:] = (vr * vs[:, None]).astype(jnp.bfloat16)
 
     q = q_ref[0]
     logits = jax.lax.dot_general(
@@ -148,19 +160,27 @@ def flash_attention(q, k, v, bias=None, block_q: int = 128, block_k: int = 512,
     Pads T/S internally to tile multiples; padded keys are bias-masked.
 
     k_scale/v_scale: [B, H, S] f32 — when given, k/v are int8 rows scaled
-    per (row, head); the resident kernel dequantizes into VMEM scratch
-    once per (batch, head), so HBM reads stay int8."""
+    per (row, head) — or nibble-packed int4 rows of width D/2 (ops.quant
+    quantize_kv_heads4), detected by shape; the resident kernel
+    dequantizes into VMEM scratch once per (batch, head), so HBM reads
+    stay int8/int4."""
     b, h, t, d = q.shape
     s = k.shape[2]
     scale = 1.0 / math.sqrt(d)
     quant = k_scale is not None
+    packed = quant and k.shape[-1] * 2 == d
 
     resident = 4 * block_q * _round_up(s, 128) <= _RESIDENT_LOGITS_BUDGET
     if quant and not resident:
         # rare (very long S): dequantize up front and take the bf16 path
-        k = (k.astype(jnp.float32) * k_scale[..., None]).astype(q.dtype)
-        v = (v.astype(jnp.float32) * v_scale[..., None]).astype(q.dtype)
-        quant = False
+        if packed:
+            from regione_tpu.ops.quant import dequantize_kv_heads4
+            k = dequantize_kv_heads4(k, k_scale, q.dtype)
+            v = dequantize_kv_heads4(v, v_scale, q.dtype)
+        else:
+            k = (k.astype(jnp.float32) * k_scale[..., None]).astype(q.dtype)
+            v = (v.astype(jnp.float32) * v_scale[..., None]).astype(q.dtype)
+        quant = packed = False
     bq = min(block_q, _round_up(t, 8))
     bk = _round_up(s, 128) if resident else block_k
 
@@ -182,9 +202,10 @@ def flash_attention(q, k, v, bias=None, block_q: int = 128, block_k: int = 512,
 
     n_t = t_pad // bq
     n_kv = s_pad // bk
+    dk = k.shape[-1]                 # d, or d//2 when nibble-packed
     qf = q.reshape(b * h, t_pad, d)
-    kf = k.reshape(b * h, s_pad, d)
-    vf = v.reshape(b * h, s_pad, d)
+    kf = k.reshape(b * h, s_pad, dk)
+    vf = v.reshape(b * h, s_pad, dk)
 
     if bias is not None:
         bias_f = jnp.broadcast_to(bias.reshape(b, 1, s_pad), (b, h, s_pad)
@@ -197,9 +218,9 @@ def flash_attention(q, k, v, bias=None, block_q: int = 128, block_k: int = 512,
         row = pl.BlockSpec((1, 1, s_pad), lambda g, i: (g, 0, 0))
         in_specs = [
             pl.BlockSpec((1, bq, d), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, s_pad, d), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, s_pad, dk), lambda g, i: (g, 0, 0)),
             row,
-            pl.BlockSpec((1, s_pad, d), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, s_pad, dk), lambda g, i: (g, 0, 0)),
             row,
         ]
         args = [qf, kf, ks_f, vf, vs_f]
@@ -208,12 +229,14 @@ def flash_attention(q, k, v, bias=None, block_q: int = 128, block_k: int = 512,
         if bias is not None:
             in_specs.append(row)
             args.append(bias_f)
-            kernel = functools.partial(_kv_resident_q8_kernel, scale=scale)
+            kernel = functools.partial(_kv_resident_q8_kernel, scale=scale,
+                                       packed=packed)
         else:
             kernel = functools.partial(
                 lambda qr, kr, ksr, vr, vsr, o, kd, vd, **kw:
                 _kv_resident_q8_kernel(qr, kr, ksr, vr, vsr, None, o,
-                                       kd, vd, **kw), scale=scale)
+                                       kd, vd, **kw), scale=scale,
+                packed=packed)
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -295,7 +318,7 @@ def flash_attention(q, k, v, bias=None, block_q: int = 128, block_k: int = 512,
 
 def _rows2_resident_kernel(q_ref, kt_ref, vt_ref, k_ref, v_ref, ks_ref,
                            vs_ref, bias_ref, o_ref, kd_ref, vd_ref,
-                           *, scale: float, t1: int):
+                           *, scale: float, t1: int, packed: bool = False):
     """One softmax over [txt ‖ cache] without materializing the concat."""
     if ks_ref is not None:
         i = pl.program_id(2)
@@ -304,10 +327,12 @@ def _rows2_resident_kernel(q_ref, kt_ref, vt_ref, k_ref, v_ref, ks_ref,
         def _dequant():
             ks = ks_ref[0, 0].astype(jnp.float32)
             vs = vs_ref[0, 0].astype(jnp.float32)
-            kd_ref[:] = (k_ref[0, 0].astype(jnp.float32)
-                         * ks[:, None]).astype(jnp.bfloat16)
-            vd_ref[:] = (v_ref[0, 0].astype(jnp.float32)
-                         * vs[:, None]).astype(jnp.bfloat16)
+            kr = (_unpack4_f32(k_ref[0, 0]) if packed
+                  else k_ref[0, 0].astype(jnp.float32))
+            vr = (_unpack4_f32(v_ref[0, 0]) if packed
+                  else v_ref[0, 0].astype(jnp.float32))
+            kd_ref[:] = (kr * ks[:, None]).astype(jnp.bfloat16)
+            vd_ref[:] = (vr * vs[:, None]).astype(jnp.bfloat16)
         k = kd_ref[:]
         v = vd_ref[:]
     else:
@@ -363,17 +388,19 @@ def _vmem_budget() -> int:
     return phys * 3 // 4
 
 
-def rows2_fits_vmem(t1: int, s: int, d: int, quant: bool) -> bool:
+def rows2_fits_vmem(t1: int, s: int, d: int, quant: bool,
+                    packed: bool = False) -> bool:
     """Whether the rows2 kernel's per-instance working set fits scoped
     VMEM.  The resident tenants: double-buffered windowed fresh-K/V
-    blocks (bf16), double-buffered cache K/V blocks (int8 or bf16), and —
-    for the int8 cache — the bf16 dequant scratch.
+    blocks (bf16), double-buffered cache K/V blocks (int4/int8/bf16),
+    and — for the quantized cache — the bf16 dequant scratch.
     Measured failure: everything-edited at the 1024^2 dev grid (t1=4224
     fresh rows over an 8192-row int8 cache) exceeds the v5e limit by
     ~60 KB; callers must fall back to the XLA path (sdpa_cached does)."""
     t1_pad = _round_up(t1, 128)
     fresh = 2 * 2 * t1_pad * d * 2                       # k+v, dbl-buffered
-    cache = 2 * 2 * s * d * (1 if quant else 2)
+    row_bytes = (d // 2) if packed else d * (1 if quant else 2)
+    cache = 2 * 2 * s * row_bytes
     scratch = 2 * s * d * 2 if quant else 0
     return fresh + cache + scratch <= _vmem_budget()
 
@@ -386,8 +413,9 @@ def flash_attention_rows2(q, k_txt, v_txt, k_cache, v_cache,
     """Double-block RAGS attention: q over [txt ‖ cached image rows].
 
     q: [B, H, T, D]; k_txt/v_txt: [B, H, T1, D] fresh bf16 (txt re-embeds
-    every step); k_cache/v_cache: [B, H, S, D] head-major cache (bf16 or
-    int8 with k_scale/v_scale [B, H, S]).  bias: [B, T1+S] or None.
+    every step); k_cache/v_cache: [B, H, S, D] head-major cache (bf16, or
+    int8 with k_scale/v_scale [B, H, S], or nibble-packed int4 of width
+    D/2 — detected by shape).  bias: [B, T1+S] or None.
     The cache is read in place; no concat or transpose hits HBM.
     Requires S % 128 == 0 (all production geometries)."""
     b, h, t, d = q.shape
@@ -396,6 +424,8 @@ def flash_attention_rows2(q, k_txt, v_txt, k_cache, v_cache,
     assert s % 128 == 0
     scale = 1.0 / math.sqrt(d)
     quant = k_scale is not None
+    dp = k_cache.shape[-1]           # d, or d//2 when nibble-packed
+    packed = quant and dp * 2 == d
 
     t1_pad = _round_up(t1, 128)
     if t1_pad != t1:
@@ -418,7 +448,7 @@ def flash_attention_rows2(q, k_txt, v_txt, k_cache, v_cache,
     q_spec = pl.BlockSpec((1, 1, bq, d), lambda bb, hh, i: (bb, hh, i, 0))
     txt_spec = pl.BlockSpec((1, 1, t1_pad, d),
                             lambda bb, hh, i: (bb, hh, 0, 0))
-    kv_spec = pl.BlockSpec((1, 1, s, d), lambda bb, hh, i: (bb, hh, 0, 0))
+    kv_spec = pl.BlockSpec((1, 1, s, dp), lambda bb, hh, i: (bb, hh, 0, 0))
     # scales flattened to [B*H, 1, S]: a (1, 1, s) block in a (.., 1, S)
     # array satisfies Mosaic's last-two-dims rule (blocking H directly
     # would put a size-1 block in a size-H dim — illegal)
@@ -457,7 +487,7 @@ def flash_attention_rows2(q, k_txt, v_txt, k_cache, v_cache,
         in_specs.append(bias_spec)
 
     out = pl.pallas_call(
-        functools.partial(kernel, scale=scale, t1=t1_pad),
+        functools.partial(kernel, scale=scale, t1=t1_pad, packed=packed),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,

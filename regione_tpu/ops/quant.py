@@ -307,3 +307,39 @@ def quantize_kv_heads(x: jnp.ndarray):
 def dequantize_kv_heads(rows_q: jnp.ndarray, scales: jnp.ndarray,
                         dtype=jnp.bfloat16) -> jnp.ndarray:
     return (rows_q.astype(jnp.float32) * scales[..., None]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# int4 KV cache (nibble-packed along head_dim, per-row scales)
+# ---------------------------------------------------------------------------
+# The unlock for the FULL 20B Qwen at the reference's native 1024^2 area
+# (RegionE/QwenImageEdit/inplace.py calculate_dimensions) on ONE 16 GB
+# v5e: utils.memplan puts the grid-64 int8 cache at 5.8 GiB beside
+# 10.2 GiB of int4 weights (16.7 GiB total — over budget); an int4 cache
+# is 2.9 GiB (13.9 GiB total — fits).  Same per-(row, head) symmetric
+# scaling as the int8 form, values clipped to [-7, 7], two values per
+# stored byte with the split-halves convention of the int4 weights
+# (pack_int4: low nibble = dh[:dh/2], high nibble = dh[dh/2:]).  The
+# attention kernels (ops.flash_attention) detect the packed form by its
+# half-width rows and unpack during the once-per-(batch, head) VMEM
+# dequant, so HBM reads stay int4.
+
+
+def quantize_kv_heads4(x: jnp.ndarray):
+    """Head-major K/V [..., S, dh] -> (packed int8 [..., S, dh/2], f32
+    scales [..., S])."""
+    dh = x.shape[-1]
+    assert dh % 2 == 0, dh
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = amax / 7.0 + 1e-12
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -7, 7).astype(jnp.int8)
+    return pack_int4(q[..., : dh // 2], q[..., dh // 2:]), scale
+
+
+def dequantize_kv_heads4(rows_qp: jnp.ndarray, scales: jnp.ndarray,
+                         dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(packed int8 [..., S, dh/2], f32 [..., S]) -> [..., S, dh] dtype."""
+    lo, hi = unpack_int4(rows_qp)
+    rows = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+    return (rows * scales[..., None]).astype(dtype)

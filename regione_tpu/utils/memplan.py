@@ -62,7 +62,8 @@ def _leaf_bytes(leaf) -> int:
 def plan(preset: str, grid: int = 64, t_txt: int = 512, tp: int = 1,
          int8: bool = False, batch_cfg: int | None = None,
          cache_dtype=None, quantize_mods: bool = False,
-         bits: int = 8, int4_mods: bool = False) -> MemPlan:
+         bits: int = 8, int4_mods: bool = False,
+         cache_bits: int = 8) -> MemPlan:
     """Exact param/cache byte budget per device for `preset` at a given
     token geometry, int8 and TP setting.  Activations are an estimate
     (dominant live set of one dense forward at bf16)."""
@@ -111,8 +112,14 @@ def plan(preset: str, grid: int = 64, t_txt: int = 512, tp: int = 1,
             p = "/".join(str(getattr(k, "key", k)) for k in path)
             big_replicated.append((p, round(nbytes / 1024**2, 1)))
 
-    cache_cfg = (dataclasses.replace(cfg, cache_int8=True)
-                 if cache_dtype == jnp.int8 else cfg)
+    if cache_dtype == jnp.int8 and cache_bits == 4:
+        cache_cfg = dataclasses.replace(cfg, cache_int8=False,
+                                        cache_int4=True)
+    elif cache_dtype == jnp.int8:
+        cache_cfg = dataclasses.replace(cfg, cache_int8=True,
+                                        cache_int4=False)
+    else:
+        cache_cfg = cfg
     cache_shapes = jax.eval_shape(
         lambda: init_cache(cache_cfg, batch_cfg, s_kv, t_txt,
                            dtype=cache_dtype or cfg.dtype))
@@ -158,6 +165,9 @@ def main(argv=None):
                     "int4 too (needed for the 60-block Qwen single-chip)")
     ap.add_argument("--cache-int8", action="store_true",
                     help="budget the KV cache at int8 (+ f32 scales)")
+    ap.add_argument("--cache-bits", type=int, default=8, choices=(4, 8),
+                    help="with --cache-int8: 4 budgets the nibble-packed "
+                    "int4 cache (the 20B-Qwen@1024px single-chip format)")
     ap.add_argument("--quantize-mods", action="store_true")
     ap.add_argument("--batch-cfg", type=int, default=None)
     ap.add_argument("--hbm", default="v5e")
@@ -167,7 +177,8 @@ def main(argv=None):
              int8=args.int8, batch_cfg=args.batch_cfg,
              quantize_mods=args.quantize_mods, bits=args.bits,
              int4_mods=args.int4_mods,
-             cache_dtype=jnp.int8 if args.cache_int8 else None)
+             cache_dtype=jnp.int8 if args.cache_int8 else None,
+             cache_bits=args.cache_bits)
     out = p.as_dict()
     out["fits_" + args.hbm] = p.fits(args.hbm)
     print(json.dumps(out, indent=2))

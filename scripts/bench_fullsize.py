@@ -88,6 +88,14 @@ def main():
                          "(ops.quant bits=4, int4_mods).  Single-chip "
                          "format for the FULL 60-block 20B Qwen and for "
                          "Step1X at its native 1024px; bf16 MXU compute")
+    ap.add_argument("--cache-int4", action="store_true",
+                    help="nibble-packed int4 KV cache instead of int8 "
+                         "(ops.quant.quantize_kv_heads4): quarter of the "
+                         "bf16 cache bytes — the single-chip unlock for "
+                         "the FULL 20B Qwen at its native 1024^2 area "
+                         "(grid 64: int8 cache 5.8 GiB does not fit "
+                         "beside the 10.2 GiB int4 weights; int4 cache "
+                         "2.9 GiB does)")
     ap.add_argument("--adaptive", action="store_true",
                     help="run the REAL adaptive partition end-to-end at "
                          "full size (x0 probe + on-device cosine/morphology "
@@ -109,6 +117,21 @@ def main():
                          "(e.g. Qwen@768 edited 529 -> cap 640 at 128 vs "
                          "576 at 64) at the cost of more possible "
                          "capacity buckets to compile")
+    ap.add_argument("--cache-threshold", type=float, default=None,
+                    help="override RegionEParams.cache_threshold (the AVD "
+                         "accumulated-error budget; backend defaults "
+                         "Appendix B).  Larger admits more gamma-certified "
+                         "velocity reuses per RAGS segment; report such "
+                         "rows as knob-sweep rows, never over the default "
+                         "artifact (VERDICT r4 item 3 sanctions +-0.02)")
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="override RegionEParams.threshold (partition "
+                         "cosine-similarity cut; backend defaults "
+                         "Appendix B)")
+    ap.add_argument("--skip-pixel-psnr", action="store_true",
+                    help="skip the post-timing VAE decode of both latents "
+                         "(psnr_pixel_vs_dense); timing rows are "
+                         "unaffected either way")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -177,7 +200,9 @@ def main():
     preset = args.preset
     is_flux = preset == "flux-kontext"
     is_qwen = preset.startswith("qwen")
-    cfg = dataclasses.replace(get_config(preset), cache_int8=True,
+    cfg = dataclasses.replace(get_config(preset),
+                              cache_int8=not args.cache_int4,
+                              cache_int4=args.cache_int4,
                               act_int8=args.act_int8)
     if args.blocks is not None:
         cfg = dataclasses.replace(cfg, depth_double=args.blocks)
@@ -186,7 +211,8 @@ def main():
     bits = 4 if args.int4 else 8
     mp = plan(cfg, grid=GRID, t_txt=T_TXT, tp=1, int8=True,
               batch_cfg=batch_cfg, quantize_mods=True, cache_dtype=jnp.int8,
-              bits=bits, int4_mods=args.int4)
+              bits=bits, int4_mods=args.int4,
+              cache_bits=4 if args.cache_int4 else 8)
     log(f"memplan: params {mp.param_bytes_per_device/2**30:.2f} GiB, "
         f"cache {mp.cache_bytes_per_device/2**30:.2f} GiB, "
         f"total {mp.total_bytes_per_device/2**30:.2f} GiB, "
@@ -204,6 +230,10 @@ def main():
     re = DEFAULT_PARAMS[preset]
     if args.cap_granularity:
         re = re.replace(capacity_granularity=args.cap_granularity)
+    if args.cache_threshold is not None:
+        re = re.replace(cache_threshold=args.cache_threshold)
+    if args.threshold is not None:
+        re = re.replace(threshold=args.threshold)
     pipe_cls = {"step1x-edit": Step1XEditPipeline,
                 "step1x-edit-v1p2": Step1XEditV1P2Pipeline,
                 "flux-kontext": FluxKontextPipeline,
@@ -355,6 +385,36 @@ def main():
         }
 
     speedup = t_dense / t_re
+    psnr_latent = round(psnr(out_dense, out_re), 2)
+    n_params = param_count(params)
+
+    # ---- pixel-space PSNR (VERDICT r4 item 4) ------------------------------
+    # The reference measures PSNR on DECODED images (evaluation/
+    # metric_all_task.py:12-143).  Decode both latents through the family
+    # VAE decoder AFTER all timing, dropping the DiT params/pipeline/cache
+    # references first (the 20B rows leave <2 GiB HBM headroom; the decoder
+    # needs ~0.1-0.4 GiB weights + a few GiB of bf16 activations).  Guarded:
+    # the timing artifact must survive a decode failure.
+    pix = {}
+    if not args.skip_pixel_psnr:
+        try:
+            import gc
+
+            from regione_tpu.eval.pixelprobe import (family_for_preset,
+                                                     pixel_psnr_vs_dense)
+            out_d_np = np.asarray(out_dense)
+            out_r_np = np.asarray(out_re)
+            pipe = params = out_dense = out_re = None
+            if args.adaptive:
+                out_f = fstats = None
+            gc.collect()
+            log("decoding both latents for pixel-space PSNR...")
+            pix = pixel_psnr_vs_dense(out_d_np, out_r_np, GRID, GRID,
+                                      family_for_preset(preset))
+            log(f"pixel PSNR vs dense: {pix['psnr_pixel_vs_dense']} dB")
+        except Exception as e:
+            pix = {"pixel_decode_error": repr(e)[:200]}
+
     # assets/result.jpg reference headline rows; the reference table has
     # no v1p2/Plus rows — compare each against its family's row
     ref_headline = {"step1x-edit": 2.572, "step1x-edit-v1p2": 2.572,
@@ -362,7 +422,7 @@ def main():
                     "qwen-image-edit": 2.059,
                     "qwen-image-edit-plus": 2.059}[preset]
     qwen_label = (f"production-width Qwen ({cfg.depth_double}/60 blocks, "
-                  f"{param_count(params)/1e9:.1f}B)")
+                  f"{n_params/1e9:.1f}B)")
     label = {"step1x-edit": "full-size 12B Step1X",
              "step1x-edit-v1p2": "full-size 12B Step1X v1.2 (own gamma)",
              "flux-kontext": "full-size 12B FLUX.1-Kontext",
@@ -370,18 +430,20 @@ def main():
              "qwen-image-edit-plus": qwen_label + " [Plus gamma]"}[preset]
     if args.int4 and is_qwen and cfg.depth_double == 60:
         label = (f"FULL 20B Qwen (60/60 blocks, "
-                 f"{param_count(params)/1e9:.1f}B)"
+                 f"{n_params/1e9:.1f}B)"
                  + (" [Plus gamma]" if preset.endswith("plus") else ""))
     row = {
         "metric": f"{label} single-chip edit speedup "
-                  f"(int{bits} weights + int8 KV cache"
+                  f"(int{bits} weights + "
+                  f"int{4 if args.cache_int4 else 8} KV cache"
                   f"{' + W8A8 activations' if args.act_int8 else ''})",
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / ref_headline, 4),
         "dense_s": round(t_dense, 4),
         "regione_s": round(t_re, 4),
-        "psnr_latent_vs_dense": round(psnr(out_dense, out_re), 2),
+        "psnr_latent_vs_dense": psnr_latent,
+        **pix,
         "partition": "adaptive" if args.adaptive else "forced",
         "edited_tokens": stats.edited_tokens,
         "edited_frac": round(stats.edited_tokens / s, 4),
@@ -393,7 +455,9 @@ def main():
         "capacity": stats.capacity,
         "seq_len": stats.seq_len,
         "reuse_steps": stats.reuse_steps,
-        "params": param_count(params),
+        **({"cache_threshold": re.cache_threshold} if args.cache_threshold is not None else {}),
+        **({"threshold": re.threshold} if args.threshold is not None else {}),
+        "params": n_params,
         "weight_bits": bits,
         "grid": GRID,
         "resolution_px": GRID * 16,
