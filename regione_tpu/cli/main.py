@@ -213,7 +213,8 @@ def run_demo(pipe, args):
         else:
             out, stats = pipe(img, item["prompt"], seed=args.seed,
                               width=args.size_level, height=args.size_level,
-                              output_type="uint8")
+                              output_type="uint8",
+                              resize_to_input=not args.no_resize_back)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         times.append(dt)
@@ -244,7 +245,8 @@ def run_evaluation(pipe, args):
             t0 = time.perf_counter()
             out, _ = pipe(img, prompt, seed=args.seed,
                           width=args.size_level, height=args.size_level,
-                          output_type="uint8")
+                          output_type="uint8",
+                          resize_to_input=not args.no_resize_back)
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
             save_png(gen_dir / f"{key}.{args.save_format}", out)
@@ -318,6 +320,16 @@ def make_parser() -> argparse.ArgumentParser:
                          "CPU smoke runs)")
     ap.add_argument("--random_weights", action="store_true")
     ap.add_argument("--save_format", default="png", choices=["png", "webp"])
+    ap.add_argument("--no_resize_back", action="store_true",
+                    help="keep outputs at the processed (snapped) "
+                    "resolution instead of restoring the input image's "
+                    "geometry.  Default restores, like the reference "
+                    "plugin's _output_process_image "
+                    "(RegionE/Step1XEdit/inplace.py:449); this flag "
+                    "matches the reference's experimental mains, which "
+                    "keep the processed size "
+                    "(src/Step1X-Edit/utils.py:449).  Moot when "
+                    "--size_level pins an explicit size")
     ap.add_argument("--print_plan", action="store_true",
                     help="dump the static 28-step stage plan and continue")
     ap.add_argument("--enable_thinking", action="store_true",

@@ -431,23 +431,35 @@ class EditPipelineBase:
         ctx = EditInputs(txt=txt, cond_latent=cond, rope_img=rope_img,
                          rope_txt=rope_txt, pooled=pooled, guidance=guidance,
                          txt_bias=jnp.asarray(bias))
-        return ctx, (width, height, grid_h, grid_w)
+        # (w0, h0) is the caller's ORIGINAL geometry (the reference's
+        # img_info, Step1XEdit/inplace.py:188) — __call__ restores it
+        return ctx, (width, height, grid_h, grid_w, (w0, h0))
 
     def __call__(self, image, prompt: str, negative_prompt: str | None = None,
                  width: int | None = None, height: int | None = None,
                  seed: int = 0, guidance_scale: float | None = None,
-                 output_type: str = "np"):
+                 output_type: str = "np", resize_to_input: bool = True):
         """Full instruction edit: encode -> (accelerated) denoise -> decode.
 
         Mirrors the reference pipeline __call__ (inplace.py:73-457) minus
-        diffusers plumbing.  Requires attach_vae + attach_text_encoder."""
+        diffusers plumbing.  Requires attach_vae + attach_text_encoder.
+
+        resize_to_input: return the edit at the CALLER's original image
+        geometry, like the reference plugin's `_output_process_image(image,
+        img_info)` post-pass (RegionE/Step1XEdit/inplace.py:188,449).
+        Pass False for the reference *experimental* behavior — its src
+        mains keep the processed resolution (src/Step1X-Edit/utils.py:449
+        comments the post-pass out: "dont change the resolution").
+        No-op when an explicit width/height was requested."""
         from regione_tpu.models import vae as V
         if not hasattr(self, "vae_params") or not hasattr(self, "text_encoder"):
             raise RuntimeError(
                 "attach_vae(...) and attach_text_encoder(...) first (or use "
                 "edit_latents for latent-space operation)")
-        ctx, (width, height, grid_h, grid_w) = self.prepare_inputs(
-            image, prompt, negative_prompt, width, height, guidance_scale)
+        explicit_size = width is not None and height is not None
+        ctx, (width, height, grid_h, grid_w, (in_w, in_h)) = \
+            self.prepare_inputs(image, prompt, negative_prompt, width,
+                                height, guidance_scale)
         key = jax.random.PRNGKey(seed)
         lat0 = jax.random.normal(
             key, (1, grid_h * grid_w, self.cfg.in_channels), jnp.float32)
@@ -457,6 +469,9 @@ class EditPipelineBase:
         z = vm.denormalize_latents(self.vae_cfg, z)
         img = vm.decode(self.vae_params["decoder"], self.vae_cfg, z)
         img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0.0, 1.0))[0]
+        if (resize_to_input and not explicit_size
+                and (in_w, in_h) != (width, height)):
+            img = np.clip(self._resize(img, in_w, in_h), 0.0, 1.0)
         if output_type == "uint8":
             img = (img * 255).round().astype(np.uint8)
         return img, stats

@@ -76,7 +76,7 @@ class EditService:
 
     def _prepare(self, req: EditRequest):
         t0 = time.perf_counter()
-        ctx, (w, h, gh, gw) = self.pipe.prepare_inputs(
+        ctx, (w, h, gh, gw, _input_size) = self.pipe.prepare_inputs(
             req.image, req.prompt, req.negative_prompt, req.width, req.height)
         lat0 = jax.random.normal(
             jax.random.PRNGKey(req.seed),

@@ -80,7 +80,7 @@ IMG = (np.random.default_rng(3).random((48, 64, 3)) * 255).astype(np.uint8)
 def test_image_reaches_encoder_for_both_cfg_halves(cls, preset):
     pipe, enc = make_pipe(cls, preset, true_cfg_scale=4.0)
     assert pipe.do_cfg
-    ctx, (w, h, gh, gw) = pipe.prepare_inputs(
+    ctx, (w, h, gh, gw, _insize) = pipe.prepare_inputs(
         IMG, "add a red hat", "low quality", width=32, height=32)
     prompts = [c[0] for c in enc.calls]
     assert prompts == ["add a red hat", "low quality"]
