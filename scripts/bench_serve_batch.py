@@ -42,6 +42,9 @@ def main():
                     help="measure EditService.run end-to-end (full "
                          "pipeline incl. VAE) instead of the batched "
                          "sampler comparison")
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON row to this path "
+                         "(e.g. SERVE_r05.json)")
     args = ap.parse_args()
     if args.service:
         return service_e2e(args)
@@ -132,7 +135,12 @@ def main():
                                forced_mask=fmask)
     err = float(jnp.max(jnp.abs(outs[0] - ref)))
 
-    print(json.dumps({
+    from regione_tpu.models.mmdit import init_cache
+    cache_gib = sum(
+        int(np.prod(l.shape)) * l.dtype.itemsize
+        for l in jax.tree.leaves(jax.eval_shape(
+            lambda: init_cache(cfg, 2, 2 * s, T_TXT)))) * B / 2**30
+    row = {
         "metric": f"batch-{B} single-chip serving throughput gain "
                   "(int8 KV cache)",
         "value": round(t_seq / t_bat, 4),
@@ -140,11 +148,20 @@ def main():
         "vs_baseline": round(t_seq / t_bat, 4),
         "seq_s_per_image": round(t_seq, 4),
         "batched_s_per_image": round(t_bat, 4),
+        "seq_images_per_s": round(1.0 / t_seq, 4),
+        "batched_images_per_s": round(1.0 / t_bat, 4),
         "batch": B,
+        "cache_sets_gib": round(cache_gib, 3),
         "max_abs_err_vs_single": err,
+        "grid": GRID,
+        "t_txt": T_TXT,
         "model": args.preset,
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(row, f, indent=2)
+    print(json.dumps(row))
 
 
 
