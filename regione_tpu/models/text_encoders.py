@@ -147,6 +147,69 @@ def drop_and_repad(hidden: "np.ndarray", mask: "np.ndarray",
     return out, out_mask
 
 
+class _MinimalVLProcessor:
+    """Qwen2-VL composite processor WITHOUT the video tower: image
+    processor + tokenizer + the `<|image_pad|>` grid expansion of
+    transformers' `Qwen2VLProcessor.__call__` (each pad token becomes
+    grid_t*grid_h*grid_w / merge_size**2 pads for its image, consumed in
+    text order).  Needed because `AutoProcessor` on a Qwen2.5-VL
+    checkpoint instantiates a video processor class that hard-requires
+    torchvision — edit pipelines never touch video, so checkpoints must
+    stay loadable on torchvision-free deployments (like this container)."""
+
+    image_token = "<|image_pad|>"
+
+    def __init__(self, image_processor, tokenizer):
+        self.image_processor = image_processor
+        self.tokenizer = tokenizer
+
+    def __call__(self, text, images=None, padding=True,
+                 return_tensors="pt"):
+        from transformers.feature_extraction_utils import BatchFeature
+
+        feat = {}
+        texts = list(text) if isinstance(text, (list, tuple)) else [text]
+        if images:
+            iv = self.image_processor(images=images,
+                                      return_tensors=return_tensors)
+            feat.update(dict(iv))
+            merge2 = int(getattr(self.image_processor, "merge_size", 2)) ** 2
+            counts = [int(np.prod(g)) // merge2
+                      for g in iv["image_grid_thw"].tolist()]
+            expanded, i = [], 0
+            for t in texts:
+                while self.image_token in t and i < len(counts):
+                    t = t.replace(self.image_token,
+                                  "<|vl_expand|>" * counts[i], 1)
+                    i += 1
+                expanded.append(t.replace("<|vl_expand|>", self.image_token))
+            if i != len(counts):
+                raise ValueError(
+                    f"{len(counts)} images but only {i} {self.image_token} "
+                    f"slots in the text")
+            texts = expanded
+        feat.update(dict(self.tokenizer(texts, padding=padding,
+                                        return_tensors=return_tensors)))
+        return BatchFeature(data=feat)
+
+
+def load_vl_processor(path: str):
+    """AutoProcessor with a torchvision-free fallback: when the composite
+    Qwen2-VL processor cannot be built (its video-processor attribute
+    requires torchvision, absent here), assemble the parts the edit
+    pipelines actually use — image processor + tokenizer + pad expansion
+    (`_MinimalVLProcessor`)."""
+    from transformers import AutoProcessor
+
+    try:
+        return AutoProcessor.from_pretrained(path)
+    except (ImportError, TypeError, ValueError):
+        from transformers import AutoTokenizer, Qwen2VLImageProcessor
+        return _MinimalVLProcessor(
+            Qwen2VLImageProcessor.from_pretrained(path),
+            AutoTokenizer.from_pretrained(path))
+
+
 class QwenVLPromptEncoder:
     """Qwen2.5-VL prompt encoder: chat template + last-hidden-state +
     prefix drop (diffusers `QwenImageEditPipeline._get_qwen_prompt_embeds`).
@@ -160,7 +223,6 @@ class QwenVLPromptEncoder:
                  template: str | None = None, drop_idx: int | None = None,
                  processor_path: str | None = None):
         import torch
-        from transformers import AutoProcessor
 
         try:
             from transformers import Qwen2_5_VLForConditionalGeneration as VL
@@ -171,8 +233,7 @@ class QwenVLPromptEncoder:
         self.variant = variant
         # diffusers-layout checkpoints keep the processor/tokenizer config
         # in a sibling subfolder, not next to the model weights
-        self.processor = AutoProcessor.from_pretrained(
-            processor_path or model_path)
+        self.processor = load_vl_processor(processor_path or model_path)
         self.model = VL.from_pretrained(
             model_path, torch_dtype=torch.float32).to(device).eval()
         self.max_length = max_length
@@ -347,8 +408,17 @@ def encoder_from_checkpoint(root, backend: str, device: str = "cpu"):
     if backend not in ("qwen-image-edit", "qwen-image-edit-plus",
                        "step1x-edit", "step1x-edit-v1p2"):
         raise KeyError(f"no encoder recipe for backend {backend!r}")
+    # template passed explicitly so drop_idx derives from the CHECKPOINT's
+    # tokenizer (what actually strips the preamble) rather than asserting
+    # the hardcoded constant: identical on the production tokenizers
+    # (derivation == QWEN_EDIT_DROP_IDX, tokenizer-checked in
+    # test_text_encoders), and correct for retrained/synthetic tokenizers
+    # (weights.tiny_vl dress rehearsals) where the constant would misdrop
     return QwenVLPromptEncoder(
         te, variant=variant, device=device,
+        template=(QWEN_EDIT_PLUS_TEMPLATE
+                  if variant == "qwen-image-edit-plus"
+                  else QWEN_EDIT_TEMPLATE),
         processor_path=sub("processor", "tokenizer") or te)
 
 

@@ -92,6 +92,34 @@ def _unpack4_f32(packed):
     return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
 
 
+def _dequant_into(dst_ref, load, load_scale, packed: bool):
+    """Chunked int8/int4 -> bf16 dequant into the VMEM scratch.
+
+    The int4 unpack (`_unpack4_f32`) materializes its concatenated f32
+    result, so a whole-S dequant holds an [S, D] f32 intermediate in
+    scoped VMEM — measured 21.16M vs the 16M v5e limit at the Qwen
+    native-resolution geometry (S=8192, D=128), failing the compile.
+    (The int8 path survives whole-S because astype×scale×store streams
+    elementwise without materializing.)  Chunking bounds the live
+    intermediate to one chunk; same arithmetic, bit-identical output.
+
+    dst_ref: [S, D] bf16 scratch; load/load_scale: slice -> packed rows /
+    scale rows (kernel-specific ref indexing)."""
+    s = dst_ref.shape[0]
+    chunk = next(c for c in (1024, 512, 256, 128, 64, 32, 16, 8, 1)
+                 if s % c == 0)
+
+    def body(j, carry):
+        sl = pl.ds(j * chunk, chunk)
+        r = (_unpack4_f32(load(sl)) if packed
+             else load(sl).astype(jnp.float32))
+        sc = load_scale(sl).astype(jnp.float32)
+        dst_ref[sl] = (r * sc[:, None]).astype(jnp.bfloat16)
+        return carry
+
+    jax.lax.fori_loop(0, s // chunk, body, 0, unroll=False)
+
+
 def _kv_resident_q8_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref,
                            o_ref, kd_ref, vd_ref, *, scale: float,
                            packed: bool = False):
@@ -99,12 +127,10 @@ def _kv_resident_q8_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref,
 
     @pl.when(i == 0)
     def _dequant():                                # once per (batch, head)
-        ks = ks_ref[0, 0].astype(jnp.float32)      # [S]
-        vs = vs_ref[0, 0].astype(jnp.float32)
-        kr = _unpack4_f32(k_ref[0]) if packed else k_ref[0].astype(jnp.float32)
-        vr = _unpack4_f32(v_ref[0]) if packed else v_ref[0].astype(jnp.float32)
-        kd_ref[:] = (kr * ks[:, None]).astype(jnp.bfloat16)
-        vd_ref[:] = (vr * vs[:, None]).astype(jnp.bfloat16)
+        _dequant_into(kd_ref, lambda sl: k_ref[0, sl],
+                      lambda sl: ks_ref[0, 0, sl], packed)
+        _dequant_into(vd_ref, lambda sl: v_ref[0, sl],
+                      lambda sl: vs_ref[0, 0, sl], packed)
 
     q = q_ref[0]
     logits = jax.lax.dot_general(
@@ -325,14 +351,10 @@ def _rows2_resident_kernel(q_ref, kt_ref, vt_ref, k_ref, v_ref, ks_ref,
 
         @pl.when(i == 0)
         def _dequant():
-            ks = ks_ref[0, 0].astype(jnp.float32)
-            vs = vs_ref[0, 0].astype(jnp.float32)
-            kr = (_unpack4_f32(k_ref[0, 0]) if packed
-                  else k_ref[0, 0].astype(jnp.float32))
-            vr = (_unpack4_f32(v_ref[0, 0]) if packed
-                  else v_ref[0, 0].astype(jnp.float32))
-            kd_ref[:] = (kr * ks[:, None]).astype(jnp.bfloat16)
-            vd_ref[:] = (vr * vs[:, None]).astype(jnp.bfloat16)
+            _dequant_into(kd_ref, lambda sl: k_ref[0, 0, sl],
+                          lambda sl: ks_ref[0, 0, sl], packed)
+            _dequant_into(vd_ref, lambda sl: v_ref[0, 0, sl],
+                          lambda sl: vs_ref[0, 0, sl], packed)
         k = kd_ref[:]
         v = vd_ref[:]
     else:
