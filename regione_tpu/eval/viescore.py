@@ -233,9 +233,14 @@ class LocalVLMBackbone:
     def __init__(self, model_path: str, device: str = "cpu",
                  max_new_tokens: int = 400):
         import torch
-        from transformers import AutoModelForVision2Seq, AutoProcessor
+        from transformers import AutoModelForVision2Seq
+        # load_vl_processor: AutoProcessor on Qwen2.5-VL checkpoints
+        # hard-requires torchvision (video tower); the judge only sends
+        # still images, so deployments without torchvision fall back to
+        # the assembled image-processor + tokenizer + pad expansion
+        from regione_tpu.models.text_encoders import load_vl_processor
         self.torch = torch
-        self.processor = AutoProcessor.from_pretrained(model_path)
+        self.processor = load_vl_processor(model_path)
         self.model = AutoModelForVision2Seq.from_pretrained(
             model_path, torch_dtype=torch.float32).to(device).eval()
         self.device = device

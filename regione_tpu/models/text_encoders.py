@@ -192,6 +192,15 @@ class _MinimalVLProcessor:
                                         return_tensors=return_tensors)))
         return BatchFeature(data=feat)
 
+    def apply_chat_template(self, conversation, **kw):
+        # processor-class semantics: return the formatted STRING (the
+        # tokenizer method defaults to tokenize=True, processors to False)
+        kw.setdefault("tokenize", False)
+        return self.tokenizer.apply_chat_template(conversation, **kw)
+
+    def decode(self, *a, **kw):
+        return self.tokenizer.decode(*a, **kw)
+
 
 def load_vl_processor(path: str):
     """AutoProcessor with a torchvision-free fallback: when the composite

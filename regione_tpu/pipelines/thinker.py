@@ -75,10 +75,12 @@ class VLMThinker:
         self.vlm = vlm
 
     def think(self, image, prompt: str) -> str:
-        return self.vlm(
+        out = self.vlm(
             [image],
             "Rewrite this image-editing instruction so it is precise and "
             f"directly executable, keeping its intent: {prompt}").strip()
+        # a VLM that replies with nothing must not blank the edit prompt
+        return out or prompt
 
     def reflect(self, image, edited, prompt: str):
         reply = self.vlm(
@@ -98,6 +100,18 @@ class VLMThinker:
         if "<#Prompt>" in reply:
             new_prompt = reply.split("<#Prompt>", 1)[1].strip() or prompt
         return success, new_prompt, scores[:1] or [0.0], scores[1:] or [0.0]
+
+
+def local_vlm_thinker(model_path: str, device: str = "cpu",
+                      max_new_tokens: int = 400) -> VLMThinker:
+    """VLMThinker backed by a local Qwen2.5-VL checkpoint — the model
+    family the reference's thinker loads (RegionE/Step1XEditV1P2/
+    inplace.py:195-212) — via the same generation backbone the VIEScore
+    judge uses (one load path, torchvision-free processor fallback)."""
+    from regione_tpu.eval.viescore import LocalVLMBackbone
+    bb = LocalVLMBackbone(model_path, device=device,
+                          max_new_tokens=max_new_tokens)
+    return VLMThinker(lambda images, text: bb.get_parsed_output(text, images))
 
 
 def edit_with_reflection(pipeline, image, prompt: str, *, thinker=None,

@@ -66,12 +66,26 @@ def build_tokenizer(vocab_size: int = 512):
         vocab_size=vocab_size, special_tokens=list(SPECIAL_TOKENS),
         initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
     tok.train_from_iterator(_CORPUS, trainer)
-    return Qwen2TokenizerFast(
+    t = Qwen2TokenizerFast(
         tokenizer_object=tok, pad_token="<|endoftext|>",
         eos_token="<|im_end|>",
         additional_special_tokens=[t for t in SPECIAL_TOKENS
                                    if t not in ("<|endoftext|>",
                                                 "<|im_end|>")])
+    # Qwen2-VL-shaped chat template (im_start/im_end turns; image content
+    # items expand to the vision-token sandwich) so generation consumers
+    # (viescore LocalVLMBackbone, VLMThinker) can apply_chat_template
+    # against this checkpoint exactly like the production one
+    t.chat_template = (
+        "{% for message in messages %}<|im_start|>{{ message['role'] }}\n"
+        "{% if message['content'] is string %}{{ message['content'] }}"
+        "{% else %}{% for content in message['content'] %}"
+        "{% if content['type'] == 'image' %}"
+        "<|vision_start|><|image_pad|><|vision_end|>"
+        "{% elif content['type'] == 'text' %}{{ content['text'] }}"
+        "{% endif %}{% endfor %}{% endif %}<|im_end|>\n{% endfor %}"
+        "{% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}")
+    return t
 
 
 def build_checkpoint(out_dir: str, hidden: int = 16, vocab_size: int = 512,

@@ -120,3 +120,39 @@ def test_full_edit_path_one_piece(te_dir, monkeypatch):
     assert out.shape == (32, 32, 3)
     assert np.isfinite(out).all() and 0.0 <= out.min() and out.max() <= 1.0
     assert stats.edited_tokens > 0
+
+
+def test_local_judge_full_generate_path(te_dir):
+    """VIEScore's local Qwen2.5-VL judge (reference
+    mllm_tools/qwen25vl_eval.py) runs its REAL chat-template -> processor
+    -> generate -> decode -> parse chain; the tiny model's replies are
+    garbage, so give_up_parsing substitutes the reference's neutral guess
+    — the path, not the scores, is what this proves."""
+    from regione_tpu.eval.viescore import LocalVLMBackbone, VIEScore
+
+    bb = LocalVLMBackbone(te_dir, max_new_tokens=8)
+    assert isinstance(bb.processor, _MinimalVLProcessor)
+    res = VIEScore(bb).evaluate([IMG, 255 - IMG], "make it winter",
+                                give_up_parsing=True)
+    assert set(res) >= {"sc", "pq", "o", "guessed"}
+    assert 0.0 <= res["o"] <= 10.0
+
+
+def test_local_vlm_thinker_reflection_loop(te_dir):
+    """edit_with_reflection with a REAL generating VLM (tiny Qwen2.5-VL)
+    behind VLMThinker: think -> pipeline edit -> reflect -> select, the
+    v1.2 outer loop with no Echo stub (reference
+    RegionE/Step1XEditV1P2/inplace.py:470-543)."""
+    from regione_tpu.pipelines.qwen_image_edit import QwenImageEditPipeline
+    from regione_tpu.pipelines.thinker import edit_with_reflection, local_vlm_thinker
+    from tests.test_prompt_conditioning import make_pipe
+
+    pipe, _ = make_pipe(QwenImageEditPipeline, "tiny-qwen")
+    thinker = local_vlm_thinker(te_dir, max_new_tokens=8)
+    best, info = edit_with_reflection(
+        pipe, IMG, "add snow", thinker=thinker, max_try_cnt=2, seed=3,
+        width=32, height=32)
+    assert best.shape == (32, 32, 3) and best.dtype == np.uint8
+    assert info["reformat_prompt"]  # the VLM's rewrite, not the raw prompt
+    assert 1 <= len(info["images"]) <= 2
+    assert "score" in info["best_info"]
