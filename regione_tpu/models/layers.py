@@ -300,10 +300,11 @@ def sdpa_cached(q, txt_kv, k_cache, v_cache, bias=None):
         flash_attention, flash_attention_rows2, rows2_fits_vmem, use_flash)
     quant = isinstance(k_cache, tuple)
     rows = k_cache[0] if quant else k_cache
-    s = rows.shape[2]
-    packed = quant and rows.shape[-1] * 2 == q.shape[-1]  # int4 cache
+    # int4 cache: S/2 packed rows vs S scale rows (S-halves convention)
+    packed = quant and rows.shape[2] * 2 == k_cache[1].shape[2]
+    s = k_cache[1].shape[2] if quant else rows.shape[2]
     rows2_ok = (txt_kv is None
-                or (s % 128 == 0
+                or (s % (256 if packed else 128) == 0
                     and rows2_fits_vmem(txt_kv[0].shape[2], s,
                                         q.shape[-1], quant, packed)))
     if use_flash(q.shape, rows.shape) and rows2_ok:

@@ -311,22 +311,26 @@ def init_cache(cfg: MMDiTConfig, batch: int, s_kv_img: int, t_txt: int,
 
     With cfg.cache_int8 the K/V arrays are int8 plus per-(row, head) f32
     scale leaves ("dk_s", ...) of shape [L, B, H, S]; with cfg.cache_int4
-    the rows are nibble-packed int8 of width dh/2 (ops.quant
-    quantize_kv_heads4) with the same scale leaves."""
+    the rows are nibble-packed int8 of S/2 rows x full dh width (ops.quant
+    quantize_kv_heads4 S-halves convention — packing along head_dim would
+    leave a tile-padded 64-wide minor axis whose XLA layout copies OOM the
+    1024^2 single-chip config) with the same scale leaves."""
     del t_txt
     dtype = dtype or (jnp.int8 if cfg.cache_quant else cfg.dtype)
     h, dh = cfg.heads, cfg.head_dim
+    s_rows = s_kv_img
     if cfg.cache_int4:
-        dh //= 2  # two int4 values per stored byte
+        assert s_kv_img % 2 == 0, s_kv_img
+        s_rows //= 2  # two int4 values per stored byte, packed along S
     cache = {
-        "dk": jnp.zeros((cfg.depth_double, batch, h, s_kv_img, dh), dtype),
-        "dv": jnp.zeros((cfg.depth_double, batch, h, s_kv_img, dh), dtype),
+        "dk": jnp.zeros((cfg.depth_double, batch, h, s_rows, dh), dtype),
+        "dv": jnp.zeros((cfg.depth_double, batch, h, s_rows, dh), dtype),
     }
     if cfg.depth_single:
         cache["sk"] = jnp.zeros(
-            (cfg.depth_single, batch, h, s_kv_img, dh), dtype)
+            (cfg.depth_single, batch, h, s_rows, dh), dtype)
         cache["sv"] = jnp.zeros(
-            (cfg.depth_single, batch, h, s_kv_img, dh), dtype)
+            (cfg.depth_single, batch, h, s_rows, dh), dtype)
     if cfg.cache_quant:
         # NB: each scale leaf must be a DISTINCT array — aliasing one
         # buffer into two pytree slots breaks donation (donating the same
@@ -417,7 +421,9 @@ def _mmdit_forward_body(
     if mode == MODE_RAGS:
         b = x.shape[0]
         cap = sel_img_ids.shape[0]
-        s_kv = cache["dk"].shape[3]
+        # full cached row count: the int4 rows leaf holds S/2 packed rows
+        # (S-halves packing), so read S off the per-row scales instead
+        s_kv = (cache["dk_s"] if cfg.cache_quant else cache["dk"]).shape[3]
         if txt_bias is not None:
             base_txt = txt_bias[:, 0, 0, :t_txt].astype(jnp.float32)
             base_img = txt_bias[:, 0, 0, t_txt:].astype(jnp.float32)

@@ -82,42 +82,52 @@ def _kv_resident_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
 
 
 def _unpack4_f32(packed):
-    """Nibble-packed int4 rows [S, D/2] -> f32 [S, D] (split-halves
-    convention of ops.quant.pack_int4: low nibble = dh[:D/2], high
-    nibble = dh[D/2:]; int8 -> int32 sign extension makes the arithmetic
+    """Nibble-packed int4 rows -> (lo, hi) f32 halves (ops.quant.pack_int4
+    split-halves convention; for the KV cache the halves are row ranges
+    [:S/2] / [S/2:].  int8 -> int32 sign extension makes the arithmetic
     right shift return signed nibbles)."""
     p32 = packed.astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
     hi = jnp.right_shift(p32, 4)
-    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+    return lo.astype(jnp.float32), hi.astype(jnp.float32)
 
 
 def _dequant_into(dst_ref, load, load_scale, packed: bool):
     """Chunked int8/int4 -> bf16 dequant into the VMEM scratch.
 
-    The int4 unpack (`_unpack4_f32`) materializes its concatenated f32
-    result, so a whole-S dequant holds an [S, D] f32 intermediate in
+    Chunked because a whole-S dequant holds an [S, D] f32 intermediate in
     scoped VMEM — measured 21.16M vs the 16M v5e limit at the Qwen
     native-resolution geometry (S=8192, D=128), failing the compile.
     (The int8 path survives whole-S because astype×scale×store streams
     elementwise without materializing.)  Chunking bounds the live
     intermediate to one chunk; same arithmetic, bit-identical output.
 
-    dst_ref: [S, D] bf16 scratch; load/load_scale: slice -> packed rows /
-    scale rows (kernel-specific ref indexing)."""
+    dst_ref: [S, D] bf16 scratch.  load(sl): packed rows (int4: S/2 rows,
+    each byte holding row s in the low nibble and row s + S/2 in the
+    high — ops.quant S-halves packing) or int8 rows; load_scale(sl):
+    scale rows (always S-indexed)."""
     s = dst_ref.shape[0]
+    rows = s // 2 if packed else s
     chunk = next(c for c in (1024, 512, 256, 128, 64, 32, 16, 8, 1)
-                 if s % c == 0)
+                 if rows % c == 0)
 
     def body(j, carry):
         sl = pl.ds(j * chunk, chunk)
-        r = (_unpack4_f32(load(sl)) if packed
-             else load(sl).astype(jnp.float32))
-        sc = load_scale(sl).astype(jnp.float32)
-        dst_ref[sl] = (r * sc[:, None]).astype(jnp.bfloat16)
+        if packed:
+            half = s // 2
+            sl_hi = pl.ds(half + j * chunk, chunk)
+            lo, hi = _unpack4_f32(load(sl))
+            dst_ref[sl] = (lo * load_scale(sl).astype(jnp.float32)[:, None]
+                           ).astype(jnp.bfloat16)
+            dst_ref[sl_hi] = (hi * load_scale(sl_hi).astype(
+                jnp.float32)[:, None]).astype(jnp.bfloat16)
+        else:
+            r = load(sl).astype(jnp.float32)
+            sc = load_scale(sl).astype(jnp.float32)
+            dst_ref[sl] = (r * sc[:, None]).astype(jnp.bfloat16)
         return carry
 
-    jax.lax.fori_loop(0, s // chunk, body, 0, unroll=False)
+    jax.lax.fori_loop(0, rows // chunk, body, 0, unroll=False)
 
 
 def _kv_resident_q8_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref,
@@ -186,19 +196,20 @@ def flash_attention(q, k, v, bias=None, block_q: int = 128, block_k: int = 512,
     Pads T/S internally to tile multiples; padded keys are bias-masked.
 
     k_scale/v_scale: [B, H, S] f32 — when given, k/v are int8 rows scaled
-    per (row, head) — or nibble-packed int4 rows of width D/2 (ops.quant
-    quantize_kv_heads4), detected by shape; the resident kernel
-    dequantizes into VMEM scratch once per (batch, head), so HBM reads
-    stay int8/int4."""
+    per (row, head) — or nibble-packed int4 of S/2 rows (ops.quant
+    quantize_kv_heads4 S-halves packing), detected by the row count vs
+    the scales'; the resident kernel dequantizes into VMEM scratch once
+    per (batch, head), so HBM reads stay int8/int4."""
     b, h, t, d = q.shape
-    s = k.shape[2]
     scale = 1.0 / math.sqrt(d)
     quant = k_scale is not None
-    packed = quant and k.shape[-1] * 2 == d
+    packed = quant and k.shape[2] * 2 == k_scale.shape[2]
+    s = k_scale.shape[2] if quant else k.shape[2]
 
     resident = 4 * block_q * _round_up(s, 128) <= _RESIDENT_LOGITS_BUDGET
-    if quant and not resident:
-        # rare (very long S): dequantize up front and take the bf16 path
+    if quant and (not resident or (packed and s % 256 != 0)):
+        # rare (very long S, or a packed row count the resident kernel's
+        # half-row indexing can't tile): dequantize up front, bf16 path
         if packed:
             from regione_tpu.ops.quant import dequantize_kv_heads4
             k = dequantize_kv_heads4(k, k_scale, q.dtype)
@@ -228,10 +239,11 @@ def flash_attention(q, k, v, bias=None, block_q: int = 128, block_k: int = 512,
 
     n_t = t_pad // bq
     n_kv = s_pad // bk
-    dk = k.shape[-1]                 # d, or d//2 when nibble-packed
+    dk = k.shape[-1]
+    rows_kv = k.shape[2]             # s_pad, or s/2 when nibble-packed
     qf = q.reshape(b * h, t_pad, d)
-    kf = k.reshape(b * h, s_pad, dk)
-    vf = v.reshape(b * h, s_pad, dk)
+    kf = k.reshape(b * h, rows_kv, dk)
+    vf = v.reshape(b * h, rows_kv, dk)
 
     if bias is not None:
         bias_f = jnp.broadcast_to(bias.reshape(b, 1, s_pad), (b, h, s_pad)
@@ -244,9 +256,9 @@ def flash_attention(q, k, v, bias=None, block_q: int = 128, block_k: int = 512,
         row = pl.BlockSpec((1, 1, s_pad), lambda g, i: (g, 0, 0))
         in_specs = [
             pl.BlockSpec((1, bq, d), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, s_pad, dk), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, rows_kv, dk), lambda g, i: (g, 0, 0)),
             row,
-            pl.BlockSpec((1, s_pad, dk), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, rows_kv, dk), lambda g, i: (g, 0, 0)),
             row,
         ]
         args = [qf, kf, ks_f, vf, vs_f]
@@ -436,18 +448,20 @@ def flash_attention_rows2(q, k_txt, v_txt, k_cache, v_cache,
 
     q: [B, H, T, D]; k_txt/v_txt: [B, H, T1, D] fresh bf16 (txt re-embeds
     every step); k_cache/v_cache: [B, H, S, D] head-major cache (bf16, or
-    int8 with k_scale/v_scale [B, H, S], or nibble-packed int4 of width
-    D/2 — detected by shape).  bias: [B, T1+S] or None.
+    int8 with k_scale/v_scale [B, H, S], or nibble-packed int4 of S/2
+    rows, ops.quant S-halves packing — detected by the row count vs the
+    scales').  bias: [B, T1+S] or None.
     The cache is read in place; no concat or transpose hits HBM.
-    Requires S % 128 == 0 (all production geometries)."""
+    Requires S % 128 == 0 (% 256 packed; all production geometries)."""
     b, h, t, d = q.shape
     t1 = k_txt.shape[2]
-    s = k_cache.shape[2]
-    assert s % 128 == 0
-    scale = 1.0 / math.sqrt(d)
     quant = k_scale is not None
-    dp = k_cache.shape[-1]           # d, or d//2 when nibble-packed
-    packed = quant and dp * 2 == d
+    packed = quant and k_cache.shape[2] * 2 == k_scale.shape[2]
+    s = k_scale.shape[2] if quant else k_cache.shape[2]
+    assert s % (256 if packed else 128) == 0, (s, packed)
+    scale = 1.0 / math.sqrt(d)
+    dp = k_cache.shape[-1]
+    rows_kv = k_cache.shape[2]       # s, or s/2 when nibble-packed
 
     t1_pad = _round_up(t1, 128)
     if t1_pad != t1:
@@ -470,7 +484,8 @@ def flash_attention_rows2(q, k_txt, v_txt, k_cache, v_cache,
     q_spec = pl.BlockSpec((1, 1, bq, d), lambda bb, hh, i: (bb, hh, i, 0))
     txt_spec = pl.BlockSpec((1, 1, t1_pad, d),
                             lambda bb, hh, i: (bb, hh, 0, 0))
-    kv_spec = pl.BlockSpec((1, 1, s, dp), lambda bb, hh, i: (bb, hh, 0, 0))
+    kv_spec = pl.BlockSpec((1, 1, rows_kv, dp),
+                           lambda bb, hh, i: (bb, hh, 0, 0))
     # scales flattened to [B*H, 1, S]: a (1, 1, s) block in a (.., 1, S)
     # array satisfies Mosaic's last-two-dims rule (blocking H directly
     # would put a size-1 block in a size-H dim — illegal)

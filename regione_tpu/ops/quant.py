@@ -310,7 +310,7 @@ def dequantize_kv_heads(rows_q: jnp.ndarray, scales: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# int4 KV cache (nibble-packed along head_dim, per-row scales)
+# int4 KV cache (nibble-packed along S in split halves, per-row scales)
 # ---------------------------------------------------------------------------
 # The unlock for the FULL 20B Qwen at the reference's native 1024^2 area
 # (RegionE/QwenImageEdit/inplace.py calculate_dimensions) on ONE 16 GB
@@ -318,28 +318,39 @@ def dequantize_kv_heads(rows_q: jnp.ndarray, scales: jnp.ndarray,
 # 10.2 GiB of int4 weights (16.7 GiB total — over budget); an int4 cache
 # is 2.9 GiB (13.9 GiB total — fits).  Same per-(row, head) symmetric
 # scaling as the int8 form, values clipped to [-7, 7], two values per
-# stored byte with the split-halves convention of the int4 weights
-# (pack_int4: low nibble = dh[:dh/2], high nibble = dh[dh/2:]).  The
-# attention kernels (ops.flash_attention) detect the packed form by its
-# half-width rows and unpack during the once-per-(batch, head) VMEM
-# dequant, so HBM reads stay int4.
+# stored byte.
+#
+# PACKING AXIS MATTERS ON TPU: packing along head_dim leaves a 64-wide
+# minor axis that T(8,128) tiling pads 2x, so XLA layout-compresses the
+# stacked cache carry in the RAGS while-loop and re-materializes padded
+# copies at every pallas boundary — measured +6.0 GiB of pure layout
+# copies at the Qwen 1024^2 geometry ([60,2,24,8192,64] s8: two 2.81 GiB
+# uncompressed copies + a 1.41 GiB compressed one), OOMing the chip.
+# Packing along S in split halves (low nibble = row s, high nibble = row
+# s + S/2) keeps the minor axis at the full, lane-exact head_dim, the
+# default layout padding-free, and the carry copy-free — same bytes,
+# same per-row scales, and the kernels' once-per-(batch, head) VMEM
+# dequant writes each unpacked chunk to its two row halves.
 
 
 def quantize_kv_heads4(x: jnp.ndarray):
-    """Head-major K/V [..., S, dh] -> (packed int8 [..., S, dh/2], f32
-    scales [..., S])."""
-    dh = x.shape[-1]
-    assert dh % 2 == 0, dh
+    """Head-major K/V [..., S, dh] -> (packed int8 [..., S/2, dh] with
+    low nibble = rows[..., :S/2, :] and high nibble = rows[..., S/2:, :],
+    f32 scales [..., S]).  Requires S even (all production geometries:
+    S = grid^2 image rows x CFG concat)."""
+    s = x.shape[-2]
+    assert s % 2 == 0, f"int4 KV packing needs an even row count, got {s}"
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
     scale = amax / 7.0 + 1e-12
     q = jnp.clip(jnp.round(xf / scale[..., None]), -7, 7).astype(jnp.int8)
-    return pack_int4(q[..., : dh // 2], q[..., dh // 2:]), scale
+    half = s // 2
+    return pack_int4(q[..., :half, :], q[..., half:, :]), scale
 
 
 def dequantize_kv_heads4(rows_qp: jnp.ndarray, scales: jnp.ndarray,
                          dtype=jnp.bfloat16) -> jnp.ndarray:
-    """(packed int8 [..., S, dh/2], f32 [..., S]) -> [..., S, dh] dtype."""
+    """(packed int8 [..., S/2, dh], f32 [..., S]) -> [..., S, dh] dtype."""
     lo, hi = unpack_int4(rows_qp)
-    rows = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+    rows = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
     return (rows * scales[..., None]).astype(dtype)

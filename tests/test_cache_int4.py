@@ -26,7 +26,10 @@ def test_kv4_quant_roundtrip_error_bound():
     rows = jnp.asarray(rng.standard_normal((b, h, s, dh)) *
                        rng.uniform(0.1, 10, (b, h, s, 1)), jnp.float32)
     qp, sc = quantize_kv_heads4(rows)
-    assert qp.dtype == jnp.int8 and qp.shape == (b, h, s, dh // 2)
+    # S-halves packing: S/2 rows at full head_dim width (the minor axis
+    # stays lane-exact — packing along head_dim tile-pads 2x and XLA's
+    # layout copies OOM the 1024^2 single-chip config)
+    assert qp.dtype == jnp.int8 and qp.shape == (b, h, s // 2, dh)
     assert sc.shape == (b, h, s)
     back = dequantize_kv_heads4(qp, sc, jnp.float32)
     err = np.abs(np.asarray(back) - np.asarray(rows))
@@ -77,7 +80,7 @@ def test_q4_rows2_kernel_matches_dequantized_reference():
     from regione_tpu.ops import flash_attention as fa
 
     rng = np.random.default_rng(3)
-    b, h, t, t1, s, d = 1, 2, 24, 8, 128, 128
+    b, h, t, t1, s, d = 1, 2, 24, 8, 256, 128
     q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
     k_txt = jnp.asarray(rng.standard_normal((b, h, t1, d)), jnp.float32)
     v_txt = jnp.asarray(rng.standard_normal((b, h, t1, d)), jnp.float32)
