@@ -32,7 +32,16 @@ def main():
     ap.add_argument("--t-txt", type=int, default=640)
     ap.add_argument("--cap", type=int, default=1024)
     ap.add_argument("--cache-int8", action="store_true")
+    ap.add_argument("--cache-int4", action="store_true",
+                    help="nibble-packed int4 KV cache (S-halves packing)")
+    ap.add_argument("--int4", action="store_true",
+                    help="int4 weights incl. modulations (the 20B-Qwen "
+                         "single-chip format)")
     ap.add_argument("--act-int8", action="store_true")
+    ap.add_argument("--preset", default="step1x-edit",
+                    choices=["step1x-edit", "qwen-image-edit"],
+                    help="model topology; qwen probes the joint-block "
+                         "_rest program (the 1024^2 int4 config)")
     ap.add_argument("--no-donate", action="store_true")
     ap.add_argument("--auto-layout", action="store_true",
                     help="compile with Format(Layout.AUTO) entry layouts "
@@ -61,24 +70,29 @@ def main():
     from regione_tpu.models.presets import get_config
     from regione_tpu.ops.quant import quantize_params
     from regione_tpu.pipelines.base import EditInputs
+    from regione_tpu.pipelines.qwen_image_edit import QwenImageEditPipeline
     from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
 
     cfg = dataclasses.replace(
-        get_config("step1x-edit"), depth_double=args.dd,
+        get_config(args.preset), depth_double=args.dd,
         depth_single=args.ds, connector=None, cache_int8=args.cache_int8,
-        act_int8=args.act_int8)
+        cache_int4=args.cache_int4, act_int8=args.act_int8)
     GRID, T_TXT, CAP = args.grid, args.t_txt, args.cap
     s = GRID * GRID
     s_kv = 2 * s
 
+    bits = 4 if args.int4 else 8
     pshapes = jax.eval_shape(
-        lambda k: quantize_params(init_mmdit(k, cfg), quantize_mods=True),
+        lambda k: quantize_params(init_mmdit(k, cfg), quantize_mods=True,
+                                  bits=bits, int4_mods=args.int4),
         jax.random.PRNGKey(0))
     abstract = lambda t: jax.tree.map(
         lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), t)
     params_abs = abstract(pshapes)
 
-    pipe = Step1XEditPipeline(cfg, None, RegionEParams())
+    pipe_cls = (QwenImageEditPipeline if args.preset.startswith("qwen")
+                else Step1XEditPipeline)
+    pipe = pipe_cls(cfg, None, RegionEParams())
     sampler = pipe.sampler_for(GRID, GRID, T_TXT, batch_cache=2)
     if args.no_donate:
         sampler._rest_jit = jax.jit(sampler._rest)
@@ -159,7 +173,10 @@ def main():
         }
         del txt
     print(json.dumps({
-        "dd": args.dd, "ds": args.ds, "cache_int8": args.cache_int8,
+        "preset": args.preset, "dd": args.dd, "ds": args.ds,
+        "grid": args.grid, "t_txt": args.t_txt, "cap": args.cap,
+        "bits": 4 if args.int4 else 8, "cache_int8": args.cache_int8,
+        "cache_int4": args.cache_int4,
         "donate": not args.no_donate,
         **remat,
         **({"compiler_options": os.environ["REGIONE_COMPILER_OPTIONS"]}

@@ -20,12 +20,13 @@ OUT=${1:?usage: run_minibench.sh <out_dir> [--mock | --model_path <dir>]}
 shift
 BACKEND="step1x-edit"
 EXTRA=()
-for a in "$@"; do
-  case "$a" in
+while [ $# -gt 0 ]; do
+  case "$1" in
     --mock) EXTRA+=(--random_weights --preset tiny --size_level 64) ;;
-    --backend) ;; # value consumed below
-    *) EXTRA+=("$a") ;;
+    --backend) BACKEND=${2:?--backend needs a value}; shift ;;
+    *) EXTRA+=("$1") ;;
   esac
+  shift
 done
 
 COMMON=(--backend "$BACKEND" --evaluation --eval_dir assets/minibench
