@@ -96,19 +96,19 @@ class EditService:
     def run_batched(self, requests: Sequence[EditRequest],
                     max_batch: int = 4, mesh=None) -> list[EditResult]:
         """Group same-geometry requests and denoise each group in ONE
-        vmapped device program (core.sampler.sample_batch) — higher MXU
-        occupancy than sequential single-image runs.
+        vmapped device program (core.sampler.sample_batch).
 
-        Memory note: each image carries its own KV-cache set (~2.4 GiB
-        bf16 at the 1.26B/1024^2 dev scale — batch 2 exceeds a 16 GB v5e;
-        with cfg.cache_int8 each set halves and batch 2 FITS one chip:
-        scripts/bench_serve_batch.py measured 3.98 s/image batched vs
-        3.90 s/image sequential, i.e. the chip is already
-        MXU/bandwidth-saturated per image, so single-chip batching buys
-        fit headroom rather than throughput).  Pass a `mesh` with a "dp"
-        axis to spread the request batch across chips for real
-        throughput scaling: the batch leaves are placed on P("dp") and
-        GSPMD keeps each image's KV-cache set on its own device."""
+        Measured single-chip reality (SERVE_r05.json / SERVE_r05_B4.json,
+        v5e, 1.26B dev @1024^2, int8 caches): batch 2 runs 3.981 s/image
+        vs 3.898 sequential — a 0.98x "gain", because one image already
+        saturates the chip's MXU/bandwidth; batch 4 does not even
+        compile (17.24 GiB of 15.75: four cache sets + batched
+        activations).  Single-chip batching is therefore NOT a
+        throughput lever — its value is (a) amortizing host-side prep
+        across a group and (b) the mesh path: pass a `mesh` with a "dp"
+        axis to spread the request batch across chips (batch leaves
+        placed on P("dp"), GSPMD keeps each image's KV-cache set on its
+        own device) — that is where images/s scales."""
         from regione_tpu.models import vae as V
         prepped = []
         for req in requests:

@@ -117,9 +117,34 @@ def main():
     log(f"compiling batch-{B} path...")
     lats = [r[0] for r in reqs]
     ctxs = [r[1] for r in reqs]
-    outs, stats = pipe.edit_latents_batch(lats, ctxs, GRID, GRID,
-                                          forced_masks=[fmask] * B)
-    sync(outs[0])
+    try:
+        outs, stats = pipe.edit_latents_batch(lats, ctxs, GRID, GRID,
+                                              forced_masks=[fmask] * B)
+        sync(outs[0])
+    except Exception as e:  # typically HBM OOM: B cache sets + batched acts
+        msg = str(e)
+        if "memory" not in msg.lower() and "hbm" not in msg.lower():
+            raise
+        import re as _re
+        m = _re.search(r"Used ([0-9.]+)G of ([0-9.]+)G", msg)
+        row = {
+            "metric": f"batch-{B} single-chip serving (int8 KV cache)",
+            "value": 0.0, "unit": "x", "vs_baseline": 0.0,
+            "oom": True,
+            "hbm_needed_gib": float(m.group(1)) if m else None,
+            "hbm_capacity_gib": float(m.group(2)) if m else None,
+            "seq_s_per_image": round(t_seq, 4),
+            "seq_images_per_s": round(1.0 / t_seq, 4),
+            "batch": B, "grid": GRID, "t_txt": T_TXT,
+            "model": args.preset, "device": str(jax.devices()[0]),
+        }
+        log(f"batch-{B} does not fit one chip: {row['hbm_needed_gib']} GiB "
+            f"needed of {row['hbm_capacity_gib']}")
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(row, f, indent=2)
+        print(json.dumps(row))
+        return
     times = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
