@@ -43,6 +43,9 @@ def main():
                     help="nibble-packed int4 weights (+int4 mods), the "
                          "single-chip 20B format")
     ap.add_argument("--cache-int8", action="store_true")
+    ap.add_argument("--cache-int4", action="store_true",
+                    help="nibble-packed int4 KV cache (S-halves packing; "
+                         "the 20B-Qwen@1024^2 single-chip format)")
     ap.add_argument("--act-int8", action="store_true",
                     help="W8A8: dynamic activation quant onto the int8 MXU")
     ap.add_argument("--blocks", type=int, default=None,
@@ -107,6 +110,8 @@ def main():
     cfg = get_config(args.preset)
     if args.cache_int8:
         cfg = dataclasses.replace(cfg, cache_int8=True)
+    if args.cache_int4:
+        cfg = dataclasses.replace(cfg, cache_int4=True)
     if args.blocks is not None:
         cfg = dataclasses.replace(cfg, depth_double=args.blocks)
     if args.act_int8:
@@ -173,6 +178,7 @@ def main():
 
     print(f"[profile] {args.preset} grid={GRID} cap={cap} "
           f"int8={args.int8} cache_int8={args.cache_int8} "
+          f"cache_int4={args.cache_int4} "
           f"act_int8={args.act_int8}", file=sys.stderr)
     t_dense, _ = timeit(dense, lat, ctx)
     print(f"[profile] dense forward          {t_dense*1e3:9.1f} ms",
