@@ -208,7 +208,8 @@ def run_demo(pipe, args):
                 enable_thinking=args.enable_thinking,
                 enable_reflection=args.enable_reflection,
                 max_try_cnt=args.max_try_cnt, seed=args.seed,
-                width=args.size_level, height=args.size_level)
+                width=args.size_level, height=args.size_level,
+                resize_to_input=not args.no_resize_back)
             stats = None
         else:
             out, stats = pipe(img, item["prompt"], seed=args.seed,

@@ -52,12 +52,23 @@ def decoder_for_family(family: str, seed: int = 0):
     if family == "wan":
         from regione_tpu.models import vae_wan as vm
         cfg = vm.WanVAEConfig(dtype=jnp.bfloat16)
-        params = vm.init_wan_vae(jax.random.PRNGKey(seed + 7), cfg)
+        init = vm.init_wan_vae
     else:
         from regione_tpu.models import vae as vm
         cfg = vm.VAEConfig(dtype=jnp.bfloat16)
-        params = vm.init_vae(jax.random.PRNGKey(seed + 7), cfg)
-    return cfg, params["decoder"] if "decoder" in params else params, vm
+        init = vm.init_vae
+    # init on HOST and ship only the decoder subtree: the probe runs right
+    # after the 20B rows where HBM headroom is <2 GiB, and the encoder
+    # weights (unused here) must never touch the device
+    try:
+        host = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        host = jax.devices()[0]
+    with jax.default_device(host):
+        params = init(jax.random.PRNGKey(seed + 7), cfg)
+    dec = params["decoder"] if "decoder" in params else params
+    dec = jax.device_put(dec, jax.devices()[0])
+    return cfg, dec, vm
 
 
 def family_for_preset(preset: str) -> str:

@@ -169,6 +169,15 @@ class _MinimalVLProcessor:
 
         feat = {}
         texts = list(text) if isinstance(text, (list, tuple)) else [text]
+        # two-sided slot/image check (transformers' Qwen2VLProcessor
+        # errors on BOTH too few and too many pad tokens; an unexpanded
+        # pad would misalign vision features downstream)
+        slots = sum(t.count(self.image_token) for t in texts)
+        n_images = len(images) if images else 0
+        if slots != n_images:
+            raise ValueError(
+                f"{n_images} images but {slots} {self.image_token} "
+                f"slots in the text")
         if images:
             iv = self.image_processor(images=images,
                                       return_tensors=return_tensors)
@@ -183,10 +192,6 @@ class _MinimalVLProcessor:
                                   "<|vl_expand|>" * counts[i], 1)
                     i += 1
                 expanded.append(t.replace("<|vl_expand|>", self.image_token))
-            if i != len(counts):
-                raise ValueError(
-                    f"{len(counts)} images but only {i} {self.image_token} "
-                    f"slots in the text")
             texts = expanded
         feat.update(dict(self.tokenizer(texts, padding=padding,
                                         return_tensors=return_tensors)))
@@ -207,12 +212,25 @@ def load_vl_processor(path: str):
     Qwen2-VL processor cannot be built (its video-processor attribute
     requires torchvision, absent here), assemble the parts the edit
     pipelines actually use — image processor + tokenizer + pad expansion
-    (`_MinimalVLProcessor`)."""
+    (`_MinimalVLProcessor`).
+
+    The fallback only applies to Qwen2-VL-family checkpoints (the pad
+    expansion and Qwen2VLImageProcessor normalization are family-
+    specific); for anything else — idefics2/mantis/minicpmv judges go
+    through the same loader — the original AutoProcessor error is
+    re-raised rather than silently mis-preprocessing."""
     from transformers import AutoProcessor
 
     try:
         return AutoProcessor.from_pretrained(path)
-    except (ImportError, TypeError, ValueError):
+    except (ImportError, TypeError, ValueError) as e:
+        try:
+            from transformers import AutoConfig
+            model_type = AutoConfig.from_pretrained(path).model_type
+        except Exception:
+            model_type = ""
+        if not str(model_type).startswith("qwen2"):
+            raise
         from transformers import AutoTokenizer, Qwen2VLImageProcessor
         return _MinimalVLProcessor(
             Qwen2VLImageProcessor.from_pretrained(path),

@@ -76,44 +76,59 @@ class EditService:
 
     def _prepare(self, req: EditRequest):
         t0 = time.perf_counter()
-        ctx, (w, h, gh, gw, _input_size) = self.pipe.prepare_inputs(
+        ctx, (w, h, gh, gw, input_size) = self.pipe.prepare_inputs(
             req.image, req.prompt, req.negative_prompt, req.width, req.height)
         lat0 = jax.random.normal(
             jax.random.PRNGKey(req.seed),
             (1, gh * gw, self.pipe.cfg.in_channels), jnp.float32)
-        return (ctx, lat0, gh, gw), time.perf_counter() - t0
+        # output-geometry parity with pipe.__call__ (the reference
+        # plugin's _output_process_image post-pass): restore the caller's
+        # original size unless an explicit width/height was requested
+        explicit = req.width is not None or req.height is not None
+        resize_to = (input_size if not explicit and input_size != (w, h)
+                     else None)
+        return (ctx, lat0, gh, gw, resize_to), time.perf_counter() - t0
+
+    def _finish(self, img_01: np.ndarray, resize_to) -> np.ndarray:
+        """[H, W, C] float in [0, 1] -> uint8, restored to the caller's
+        geometry when `resize_to` is set."""
+        if resize_to is not None:
+            img_01 = np.clip(self.pipe._resize(img_01, *resize_to), 0.0, 1.0)
+        return (img_01 * 255).round().astype(np.uint8)
 
     def _denoise_decode(self, prepared) -> tuple[np.ndarray, Any]:
         from regione_tpu.models import vae as V
-        ctx, lat0, gh, gw = prepared
+        ctx, lat0, gh, gw, resize_to = prepared
         lat, stats = self.pipe.edit_latents(lat0, ctx, gh, gw)
         z = V.unpack_latents(lat.astype(jnp.float32), gh, gw)
         z = V.denormalize_latents(self.pipe.vae_cfg, z)
         img = V.decode(self.pipe.vae_params["decoder"], self.pipe.vae_cfg, z)
         img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0.0, 1.0))[0]
-        return (img * 255).round().astype(np.uint8), stats
+        return self._finish(img, resize_to), stats
 
     def run_batched(self, requests: Sequence[EditRequest],
                     max_batch: int = 4, mesh=None) -> list[EditResult]:
         """Group same-geometry requests and denoise each group in ONE
         vmapped device program (core.sampler.sample_batch).
 
-        Measured single-chip reality (SERVE_r05.json / SERVE_r05_B4.json,
-        v5e, 1.26B dev @1024^2, int8 caches): batch 2 runs 3.981 s/image
-        vs 3.898 sequential — a 0.98x "gain", because one image already
-        saturates the chip's MXU/bandwidth; batch 4 does not even
-        compile (17.24 GiB of 15.75: four cache sets + batched
-        activations).  Single-chip batching is therefore NOT a
-        throughput lever — its value is (a) amortizing host-side prep
-        across a group and (b) the mesh path: pass a `mesh` with a "dp"
-        axis to spread the request batch across chips (batch leaves
-        placed on P("dp"), GSPMD keeps each image's KV-cache set on its
-        own device) — that is where images/s scales."""
+        Measured single-chip reality (SERVE_r05*.json, v5e, 1.26B dev
+        @1024^2): batch 2 runs 3.981 s/image vs 3.898 sequential — a
+        0.98x "gain", because one image already saturates the chip's
+        MXU/bandwidth; batch 4 with int8 caches does not even compile
+        (17.24 GiB of 15.75: four cache sets + batched activations) but
+        FITS with nibble-packed int4 caches (2.39 GiB of cache sets) at
+        0.94x; even a deliberately underutilized chip (grid 32, B=4) is
+        0.92x.  Single-chip batching is therefore NOT a throughput
+        lever at any occupancy — its value is (a) amortizing host-side
+        prep across a group and (b) the mesh path: pass a `mesh` with a
+        "dp" axis to spread the request batch across chips (batch
+        leaves placed on P("dp"), GSPMD keeps each image's KV-cache set
+        on its own device) — that is where images/s scales."""
         from regione_tpu.models import vae as V
         prepped = []
         for req in requests:
-            (ctx, lat0, gh, gw), prep_s = self._prepare(req)
-            prepped.append((req, ctx, lat0, gh, gw, prep_s))
+            (ctx, lat0, gh, gw, resize_to), prep_s = self._prepare(req)
+            prepped.append((req, ctx, lat0, gh, gw, prep_s, resize_to))
         results: dict[int, EditResult] = {}
         # group by geometry — incl. the condition-sequence length AND the
         # rope-table content.  edit_latents_batch reuses the first
@@ -122,7 +137,7 @@ class EditService:
         # (e.g. Plus refs with transposed aspects, or 2 refs vs 1 whose
         # token totals coincide): same shapes, different positional ids.
         groups: dict[tuple, list[int]] = {}
-        for i, (_, ctx, lat0, gh, gw, _) in enumerate(prepped):
+        for i, (_, ctx, lat0, gh, gw, _, _) in enumerate(prepped):
             groups.setdefault(
                 (gh, gw, ctx.txt.shape[-2], ctx.cond_latent.shape[-2],
                  _rope_digest(ctx)),
@@ -143,7 +158,7 @@ class EditService:
                                    self.pipe.vae_cfg, z)
                     img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0, 1))[0]
                     results[i] = EditResult(
-                        image=(img * 255).round().astype(np.uint8),
+                        image=self._finish(img, prepped[i][6]),
                         stats=st, latency_s=group_s / len(chunk),
                         prep_s=prepped[i][5], group_size=len(chunk),
                         group_latency_s=group_s)

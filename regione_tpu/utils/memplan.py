@@ -166,8 +166,9 @@ def main(argv=None):
     ap.add_argument("--cache-int8", action="store_true",
                     help="budget the KV cache at int8 (+ f32 scales)")
     ap.add_argument("--cache-bits", type=int, default=8, choices=(4, 8),
-                    help="with --cache-int8: 4 budgets the nibble-packed "
-                    "int4 cache (the 20B-Qwen@1024px single-chip format)")
+                    help="4 budgets the nibble-packed int4 cache (the "
+                    "20B-Qwen@1024px single-chip format); implies a "
+                    "quantized cache even without --cache-int8")
     ap.add_argument("--quantize-mods", action="store_true")
     ap.add_argument("--batch-cfg", type=int, default=None)
     ap.add_argument("--hbm", default="v5e")
@@ -177,7 +178,8 @@ def main(argv=None):
              int8=args.int8, batch_cfg=args.batch_cfg,
              quantize_mods=args.quantize_mods, bits=args.bits,
              int4_mods=args.int4_mods,
-             cache_dtype=jnp.int8 if args.cache_int8 else None,
+             cache_dtype=(jnp.int8 if (args.cache_int8 or
+                                       args.cache_bits == 4) else None),
              cache_bits=args.cache_bits)
     out = p.as_dict()
     out["fits_" + args.hbm] = p.fits(args.hbm)

@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--grid", type=int, default=64)
     ap.add_argument("--t-txt", type=int, default=128)
     ap.add_argument("--preset", default="step1x-edit:dev")
+    ap.add_argument("--cache-int4", action="store_true",
+                    help="nibble-packed int4 KV caches instead of int8 "
+                         "(halves the per-request cache set again; the "
+                         "lever that fits batch 4 on one v5e — int8 "
+                         "needed 17.24 GiB of 15.75, SERVE_r05_B4.json)")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--requests", type=int, default=4)
     ap.add_argument("--service", action="store_true",
@@ -67,7 +72,10 @@ def main():
     from regione_tpu.pipelines.step1x_edit import Step1XEditPipeline
 
     GRID, T_TXT, B = args.grid, args.t_txt, args.batch
-    cfg = dataclasses.replace(get_config(args.preset), cache_int8=True)
+    cache_kind = "int4" if args.cache_int4 else "int8"
+    cfg = dataclasses.replace(get_config(args.preset),
+                              cache_int8=not args.cache_int4,
+                              cache_int4=args.cache_int4)
     params = init_mmdit(jax.random.PRNGKey(0), cfg)
     re = RegionEParams().replace(threshold=0.88, cache_threshold=0.02)
     pipe = Step1XEditPipeline(cfg, params, re)
@@ -128,7 +136,7 @@ def main():
         import re as _re
         m = _re.search(r"Used ([0-9.]+)G of ([0-9.]+)G", msg)
         row = {
-            "metric": f"batch-{B} single-chip serving (int8 KV cache)",
+            "metric": f"batch-{B} single-chip serving ({cache_kind} KV cache)",
             "value": 0.0, "unit": "x", "vs_baseline": 0.0,
             "oom": True,
             "hbm_needed_gib": float(m.group(1)) if m else None,
@@ -167,7 +175,7 @@ def main():
             lambda: init_cache(cfg, 2, 2 * s, T_TXT)))) * B / 2**30
     row = {
         "metric": f"batch-{B} single-chip serving throughput gain "
-                  "(int8 KV cache)",
+                  f"({cache_kind} KV cache)",
         "value": round(t_seq / t_bat, 4),
         "unit": "x",
         "vs_baseline": round(t_seq / t_bat, 4),

@@ -82,6 +82,8 @@ def instruction_stats() -> dict:
                         words.append(len(item.get(
                             "prompt", item.get("instruction", "")).split()))
                         srcs.append("minibench")
+    if not words:  # no reference mounts / minibench in this checkout —
+        return None  # the vision-token analysis below still runs
     w = np.asarray(words)
     est = np.round(1.3 * w + 3).astype(int)  # BPE estimate
     return {"n": len(w), "words_min": int(w.min()), "words_max": int(w.max()),
@@ -92,11 +94,15 @@ def instruction_stats() -> dict:
 
 def main():
     ins = instruction_stats()
-    print(f"instruction sets in container: n={ins['n']}, "
-          f"words {ins['words_min']}-{ins['words_max']} "
-          f"(mean {ins['words_mean']:.1f}); BPE-estimated tokens "
-          f"{ins['tok_est_min']}-{ins['tok_est_max']} "
-          f"(mean {ins['tok_est_mean']:.1f})")
+    if ins is None:
+        print("instruction sets in container: none found "
+              "(no reference data.jsonl / assets/minibench)")
+    else:
+        print(f"instruction sets in container: n={ins['n']}, "
+              f"words {ins['words_min']}-{ins['words_max']} "
+              f"(mean {ins['words_mean']:.1f}); BPE-estimated tokens "
+              f"{ins['tok_est_min']}-{ins['tok_est_max']} "
+              f"(mean {ins['tok_est_mean']:.1f})")
     print()
 
     suffix = 5  # <|im_end|>\n<|im_start|>assistant\n remainder after drop

@@ -53,13 +53,23 @@ def _heads_quant4(rows, heads):
     return quantize_kv_heads4(split_heads(rows, heads))
 
 
-def test_q4_flash_kernel_matches_dequantized_reference():
-    """Packed int4 path of the KV-resident kernel (txt_kv=None)."""
+import pytest
+
+
+@pytest.mark.parametrize("s", [256, 64])
+def test_q4_flash_kernel_matches_dequantized_reference(s):
+    """Packed int4 path of the KV-resident kernel (txt_kv=None).
+
+    s=256 hits the packed resident kernel itself (S % 256 == 0, the tile
+    condition the FULL 20B Qwen @1024^2 rows satisfy at S=8192); s=64
+    hits the up-front-dequant fallback (flash_attention's
+    `packed and s % 256 != 0` guard).  Both must match the dequantized
+    reference."""
     from regione_tpu.models.layers import sdpa
     from regione_tpu.ops import flash_attention as fa
 
     rng = np.random.default_rng(2)
-    b, h, t, s, d = 1, 2, 16, 64, 128
+    b, h, t, d = 1, 2, 16, 128
     q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
     k_rows = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
     v_rows = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)

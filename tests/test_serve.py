@@ -156,3 +156,47 @@ def test_batched_grouping_splits_equal_length_different_rope():
         pipe.edit_latents_batch(
             [np.zeros((1, 16, cfg.in_channels), np.float32)] * 2,
             [ctx_a, ctx_b], 4, 4)
+
+
+def _tiny_area_policy(self, width, height):
+    # tiny-scale stand-in for the production ~1024^2-area policy (the
+    # resize-back logic is policy-independent; the real policy would snap
+    # to a 1024^2-area grid far too large for a CPU test)
+    area = 32 * 32
+    ratio = width / height
+    f = self.token_factor
+    w = int(round((area * ratio) ** 0.5 / f) * f)
+    h = int(round((w / ratio) / f) * f)
+    return max(f, w), max(f, h)
+
+
+def test_edit_service_restores_input_geometry(monkeypatch):
+    """Serve surface must match pipe.__call__'s output-geometry parity
+    (the reference plugin's _output_process_image): a request WITHOUT an
+    explicit width/height comes back at the caller's original size, even
+    when the pipeline snapped to a different processing resolution; an
+    explicit size is honored as-is."""
+    cfg = get_config("tiny")
+    params = init_mmdit(jax.random.PRNGKey(4), cfg)
+    vae_cfg = V.VAEConfig(block_out_channels=(8, 16), latent_channels=2,
+                          norm_num_groups=4, layers_per_block=1)
+    pipe = Step1XEditPipeline(cfg, params, RegionEParams(
+        threshold=0.0, erosion_dilation=False, capacity_granularity=8))
+    pipe.attach_vae(vae_cfg, V.init_vae(jax.random.PRNGKey(5), vae_cfg))
+    pipe.attach_text_encoder(MockTextEncoder(cfg.txt_in_dim, cfg.pooled_dim,
+                                             max_length=8))
+    monkeypatch.setattr(type(pipe), "target_resolution", _tiny_area_policy)
+    svc = EditService(pipe, use_regione=True)
+    rng = np.random.default_rng(2)
+    img = (rng.random((40, 24, 3)) * 255).astype(np.uint8)  # h=40, w=24
+
+    # no explicit size -> restored to the input geometry
+    [r] = svc.run([EditRequest(image=img, prompt="edit", seed=0)])
+    assert r.image.shape[:2] == (40, 24), r.image.shape
+    [rb] = svc.run_batched([EditRequest(image=img, prompt="edit", seed=0)])
+    assert rb.image.shape[:2] == (40, 24), rb.image.shape
+
+    # explicit size -> kept at the requested resolution
+    [re_] = svc.run([EditRequest(image=img, prompt="edit",
+                                 width=32, height=32, seed=0)])
+    assert re_.image.shape[:2] == (32, 32), re_.image.shape
