@@ -30,12 +30,9 @@ import numpy as np
 
 
 def _psnr01(a: np.ndarray, b: np.ndarray) -> float:
-    a = np.asarray(a, np.float64)
-    b = np.asarray(b, np.float64)
-    mse = float(np.mean((a - b) ** 2))
-    if mse == 0:
-        return float("inf")
-    return 10.0 * float(np.log10(1.0 / mse))
+    from regione_tpu.eval.metrics import psnr
+
+    return psnr(np.asarray(a), np.asarray(b), data_range=1.0)
 
 
 def decoder_for_family(family: str, seed: int = 0):

@@ -169,16 +169,18 @@ class _MinimalVLProcessor:
 
         feat = {}
         texts = list(text) if isinstance(text, (list, tuple)) else [text]
-        # two-sided slot/image check (transformers' Qwen2VLProcessor
-        # errors on BOTH too few and too many pad tokens; an unexpanded
-        # pad would misalign vision features downstream)
-        slots = sum(t.count(self.image_token) for t in texts)
-        n_images = len(images) if images else 0
-        if slots != n_images:
-            raise ValueError(
-                f"{n_images} images but {slots} {self.image_token} "
-                f"slots in the text")
         if images:
+            # two-sided slot/image check (transformers' Qwen2VLProcessor
+            # errors on BOTH too few and too many pad tokens; an
+            # unexpanded pad would misalign vision features downstream).
+            # Text-ONLY calls are exempt like upstream: with images=None
+            # the processor tokenizes pad tokens as-is (the Qwen edit
+            # template always carries a pad slot, image or not).
+            slots = sum(t.count(self.image_token) for t in texts)
+            if slots != len(images):
+                raise ValueError(
+                    f"{len(images)} images but {slots} {self.image_token} "
+                    f"slots in the text")
             iv = self.image_processor(images=images,
                                       return_tensors=return_tensors)
             feat.update(dict(iv))
@@ -229,7 +231,9 @@ def load_vl_processor(path: str):
             model_type = AutoConfig.from_pretrained(path).model_type
         except Exception:
             model_type = ""
-        if not str(model_type).startswith("qwen2"):
+        # exact VL-family match: plain qwen2 / qwen2_moe / qwen2_audio
+        # checkpoints must re-raise, not get VL image preprocessing
+        if str(model_type) not in ("qwen2_vl", "qwen2_5_vl"):
             raise
         from transformers import AutoTokenizer, Qwen2VLImageProcessor
         return _MinimalVLProcessor(

@@ -83,8 +83,10 @@ class EditService:
             (1, gh * gw, self.pipe.cfg.in_channels), jnp.float32)
         # output-geometry parity with pipe.__call__ (the reference
         # plugin's _output_process_image post-pass): restore the caller's
-        # original size unless an explicit width/height was requested
-        explicit = req.width is not None or req.height is not None
+        # original size unless an explicit width/height was requested —
+        # BOTH must be set, matching base.py __call__'s explicit_size
+        # (a lone width is treated as a hint, not an output geometry)
+        explicit = req.width is not None and req.height is not None
         resize_to = (input_size if not explicit and input_size != (w, h)
                      else None)
         return (ctx, lat0, gh, gw, resize_to), time.perf_counter() - t0

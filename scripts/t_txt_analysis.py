@@ -122,7 +122,10 @@ def main():
     print("| backend | vision recipe | vision tokens | + instr + suffix "
           "| implied t_txt (cap 512) |")
     print("|---|---|---|---|---|")
-    lo, hi = ins["tok_est_min"], ins["tok_est_max"]
+    # no instruction corpus in this checkout -> fall back to the GEdit
+    # bracket measured from the reference's demo set (11-17 words)
+    lo, hi = ((ins["tok_est_min"], ins["tok_est_max"]) if ins
+              else (17, 25))
     for backend, recipe, v in rows:
         tot_lo, tot_hi = v + lo + suffix, v + hi + suffix
         cap_lo, cap_hi = min(tot_lo, 512), min(tot_hi, 512)

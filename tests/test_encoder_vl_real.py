@@ -69,6 +69,53 @@ def test_pad_expansion_rejects_extra_images(te_dir):
         proc(text=["no slot here"], images=[IMG], return_tensors="pt")
 
 
+def test_pad_expansion_rejects_missing_images(te_dir):
+    proc = load_vl_processor(te_dir)
+    with pytest.raises(ValueError, match="slots"):
+        proc(text=["<|vision_start|><|image_pad|><|vision_end|>a"
+                   "<|vision_start|><|image_pad|><|vision_end|>b"],
+             images=[IMG], return_tensors="pt")
+
+
+def test_text_only_keeps_pad_token_unexpanded(te_dir):
+    """images=None tokenizes pad slots as-is, like the upstream
+    Qwen2VLProcessor — the Qwen edit template always carries a pad slot
+    even for text-only prompt encoding (regression: an unconditional
+    slot/image check broke every text-only encode)."""
+    proc = load_vl_processor(te_dir)
+    out = proc(text=["<|vision_start|><|image_pad|><|vision_end|>hi"],
+               return_tensors="pt")
+    pad_id = proc.tokenizer.convert_tokens_to_ids("<|image_pad|>")
+    assert (out["input_ids"][0] == pad_id).sum().item() == 1
+    assert "pixel_values" not in out
+
+
+def test_fallback_gate_reraises_for_non_vl_checkpoints(te_dir, monkeypatch):
+    """A non-VL qwen2-family checkpoint (plain qwen2 text model) whose
+    AutoProcessor load fails must re-raise the original error instead of
+    getting Qwen2-VL image preprocessing it was never trained with."""
+    import transformers as tf
+
+    def boom(path, **kw):
+        raise ValueError("no processor for you")
+
+    monkeypatch.setattr(tf.AutoProcessor, "from_pretrained",
+                        staticmethod(boom))
+
+    class FakeCfg:
+        model_type = "qwen2"
+
+    monkeypatch.setattr(tf.AutoConfig, "from_pretrained",
+                        staticmethod(lambda path, **kw: FakeCfg()))
+    with pytest.raises(ValueError, match="no processor for you"):
+        load_vl_processor(te_dir)
+
+    # the VL family still falls back to _MinimalVLProcessor
+    FakeCfg.model_type = "qwen2_5_vl"
+    proc = load_vl_processor(te_dir)
+    assert isinstance(proc, _MinimalVLProcessor)
+
+
 def test_encode_image_adds_vision_tokens(encoder):
     emb_t, pooled, mask_t = encoder.encode("add a red hat")
     emb_i, _, mask_i = encoder.encode("add a red hat", image=[IMG])

@@ -31,13 +31,20 @@ def pipe(monkeypatch):
     return p
 
 
-def _area_policy(self, width, height):
-    area = 64 * 64
-    ratio = width / height
-    f = self.token_factor
-    w = int(round((area * ratio) ** 0.5 / f) * f)
-    h = int(round((w / ratio) / f) * f)
-    return max(f, w), max(f, h)
+def snapped_area_policy(area):
+    """Tiny-scale stand-in for the production ~1024^2-area resolution
+    policy (same snapping math, test-sized area).  Shared by the
+    output-geometry and serve-geometry tests."""
+    def policy(self, width, height):
+        ratio = width / height
+        f = self.token_factor
+        w = int(round((area * ratio) ** 0.5 / f) * f)
+        h = int(round((w / ratio) / f) * f)
+        return max(f, w), max(f, h)
+    return policy
+
+
+_area_policy = snapped_area_policy(64 * 64)
 
 
 def test_default_restores_input_geometry(pipe):

@@ -158,16 +158,11 @@ def test_batched_grouping_splits_equal_length_different_rope():
             [ctx_a, ctx_b], 4, 4)
 
 
-def _tiny_area_policy(self, width, height):
-    # tiny-scale stand-in for the production ~1024^2-area policy (the
-    # resize-back logic is policy-independent; the real policy would snap
-    # to a 1024^2-area grid far too large for a CPU test)
-    area = 32 * 32
-    ratio = width / height
-    f = self.token_factor
-    w = int(round((area * ratio) ** 0.5 / f) * f)
-    h = int(round((w / ratio) / f) * f)
-    return max(f, w), max(f, h)
+from tests.test_output_geometry import snapped_area_policy
+
+# the resize-back logic is policy-independent; the real policy would snap
+# to a 1024^2-area grid far too large for a CPU test
+_tiny_area_policy = snapped_area_policy(32 * 32)
 
 
 def test_edit_service_restores_input_geometry(monkeypatch):
@@ -200,3 +195,10 @@ def test_edit_service_restores_input_geometry(monkeypatch):
     [re_] = svc.run([EditRequest(image=img, prompt="edit",
                                  width=32, height=32, seed=0)])
     assert re_.image.shape[:2] == (32, 32), re_.image.shape
+
+    # PARTIAL size (width only) is a hint, not an output geometry —
+    # matches base.py __call__'s `width is not None AND height is not
+    # None` rule, so the result is still restored to the input size
+    [rp] = svc.run([EditRequest(image=img, prompt="edit",
+                                width=32, seed=0)])
+    assert rp.image.shape[:2] == (40, 24), rp.image.shape
