@@ -35,6 +35,17 @@ def _psnr01(a: np.ndarray, b: np.ndarray) -> float:
     return psnr(np.asarray(a), np.asarray(b), data_range=1.0)
 
 
+def _ssim01(a: np.ndarray, b: np.ndarray) -> float:
+    """Mean SSIM over a batch of [B, H, W, C] float images in [0, 1]
+    (eval.metrics.ssim is skimage-faithful per image)."""
+    from regione_tpu.eval.metrics import ssim
+
+    a = np.asarray(a)
+    b = np.asarray(b)
+    return float(np.mean([ssim(x, y, data_range=1.0)
+                          for x, y in zip(a, b)]))
+
+
 def decoder_for_family(family: str, seed: int = 0):
     """(cfg, params, module) for the production decoder of a model family.
 
@@ -77,8 +88,10 @@ def pixel_psnr_vs_dense(out_dense, out_re, grid_h: int, grid_w: int,
                         ) -> dict[str, Any]:
     """Decode both latents ([1, S, 4*C_lat] tokens) and PSNR the pixels.
 
-    Returns {"psnr_pixel_vs_dense": float, "pixel_decoder": str}; raises
-    on decode failure (callers guard so the timing artifact survives).
+    Returns {"psnr_pixel_vs_dense": float, "ssim_pixel_vs_dense": float,
+    "pixel_decoder": str}; raises on decode failure (callers guard so the
+    timing artifact survives).  SSIM mirrors the reference's second pixel
+    metric (evaluation/metric_all_task.py skimage SSIM over PNG pairs).
     """
     import jax.numpy as jnp
 
@@ -99,6 +112,7 @@ def pixel_psnr_vs_dense(out_dense, out_re, grid_h: int, grid_w: int,
     kind = ("wan-2.1" if family == "wan" else "autoencoder-kl")
     return {
         "psnr_pixel_vs_dense": round(_psnr01(img_d, img_r), 2),
+        "ssim_pixel_vs_dense": round(_ssim01(img_d, img_r), 4),
         "pixel_decoder": f"{kind} production topology, random weights, "
                          f"bf16, {img_d.shape[1]}x{img_d.shape[2]}px",
     }

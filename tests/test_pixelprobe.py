@@ -36,6 +36,7 @@ def test_pixel_psnr_decodes_and_orders(family):
     t0 = _tokens(0)
     same = pixel_psnr_vs_dense(t0, t0.copy(), GRID, GRID, family=family)
     assert same["psnr_pixel_vs_dense"] == float("inf")
+    assert same["ssim_pixel_vs_dense"] == 1.0
     assert "pixel_decoder" in same
 
     small = pixel_psnr_vs_dense(t0, t0 + 1e-3 * _tokens(1), GRID, GRID,
@@ -44,6 +45,8 @@ def test_pixel_psnr_decodes_and_orders(family):
                                 family=family)
     assert np.isfinite(small["psnr_pixel_vs_dense"])
     assert small["psnr_pixel_vs_dense"] > large["psnr_pixel_vs_dense"]
+    # SSIM orders the same way (the reference's second pixel metric)
+    assert 0.0 < large["ssim_pixel_vs_dense"] < small["ssim_pixel_vs_dense"] <= 1.0
 
 
 def test_pixel_psnr_seed_stable():
